@@ -1,0 +1,395 @@
+"""Band-Split RNN (BSRNN), TPU-first.
+
+Behavioral spec: the reference's local BSRNN copy
+(``/root/reference/baseline_code/models/bsrnn_flowse.py:16-318`` — which
+documents the espnet band layout and dual-path loop verbatim) and espnet
+202412's ``espnet2/enh/layers/bsrnn.py`` BSRNN/MaskDecoder used by the
+discriminative path (``/root/reference/baseline_code/models/bsrnn.py:28-41``).
+
+Architecture (one fs-truncated band set per sampling rate):
+  spectrum (B,T,F) complex
+    -> BandSplit: K non-uniform subbands, per-band GroupNorm + 1x1 conv -> (B,T,K,N)
+    -> num_layer x dual-path blocks:
+         time:  GN -> LSTM over T (batch B*K) -> Linear -> +skip
+         band:  GN -> BLSTM over K (batch B*T) -> Linear -> +skip
+    -> MaskDecoder: per-band MLP -> GLU -> complex (mask, residual)
+    -> out = mask * spectrum + residual
+
+TPU-first design decisions (vs. the reference's per-band Python loops):
+  * All per-band parameters are stacked into padded tensors (K, W, ...) so the
+    whole band split / decode is ONE einsum on the MXU instead of K tiny convs;
+    padded slots are masked out of the GroupNorm statistics and zeroed, so the
+    numerics match the reference exactly.
+  * Band gather/scatter index maps are trace-time numpy constants.
+  * The 6 layers are parameter-stacked and driven by `lax.scan` (compile time
+    stays flat in depth); each LSTM hoists its input projection out of the
+    recurrence (see ops/lstm.py).
+  * fs is a static Python int: one compiled program per (fs, length-bucket),
+    matching the reference's one-fs-per-batch invariant (``dataset.py:417``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from urgent2026_challenge_track1_tpu.ops import lstm as lstm_ops
+from urgent2026_challenge_track1_tpu.ops.norms import group_norm, masked_group_norm
+
+__all__ = [
+    "BSRNNConfig",
+    "subband_layout",
+    "band_count",
+    "init_bsrnn",
+    "bsrnn_apply",
+    "bsrnn_se_apply",
+]
+
+
+# ---------------------------------------------------------------------------
+# Band layout (reference: models/bsrnn_flowse.py:23-43)
+# ---------------------------------------------------------------------------
+
+
+def subband_layout(input_dim: int, target_fs: int = 48000) -> tuple[int, ...]:
+    """Non-uniform subband widths in bins; sums to ``input_dim``.
+
+    481 bins (n_fft=960 @48k): 200 Hz bands to 4 kHz, 500 Hz to 7 kHz,
+    2 kHz to 21 kHz, one final 3 kHz band.  769 bins (n_fft=1536 @48k):
+    same frequency plan at 31.25 Hz resolution.
+    """
+    if input_dim == 481 and target_fs == 48000:
+        return tuple([5] + [4] * 19 + [10] * 6 + [40] * 7 + [60])
+    if input_dim == 769 and target_fs == 48000:
+        return tuple([5] + [4] * 26 + [10] * 10 + [50] * 10 + [60])
+    raise NotImplementedError(
+        f"no subband layout for input_dim={input_dim}, target_fs={target_fs}"
+    )
+
+
+def _subband_edge_freqs(subbands, n_fft: int, target_fs: int) -> np.ndarray:
+    """Upper-edge frequency of each subband (reference's subband_freqs)."""
+    edges = np.cumsum(subbands)
+    return (edges - 1) * (target_fs / n_fft)
+
+
+def band_count(input_dim: int, target_fs: int, fs: int, n_bins_in: int) -> int:
+    """Number of bands processed for sampling rate ``fs`` with ``n_bins_in``
+    input bins — reproduces the two break conditions of the reference's
+    BandSplit.forward (models/bsrnn_flowse.py:81-85)."""
+    subbands = subband_layout(input_dim, target_fs)
+    n_fft = (input_dim - 1) * 2
+    freqs = _subband_edge_freqs(subbands, n_fft, target_fs)
+    hz = 0
+    for i, sub in enumerate(subbands):
+        hz += sub
+        if hz >= n_bins_in or freqs[i] >= fs / 2:
+            return i + 1
+    return len(subbands)
+
+
+@dataclasses.dataclass(frozen=True)
+class BSRNNConfig:
+    input_dim: int = 481          # frequency bins at target_fs
+    num_channel: int = 192        # embedding dim N
+    num_layer: int = 6
+    target_fs: int = 48000
+    causal: bool = False          # False -> bidirectional time LSTM
+    norm_eps: float = 1e-8        # espnet choose_norm GN eps
+    with_condition: bool = False  # flow-matching: second band split + t-emb
+    sub_channel: int = 16         # GradDecoder intermediate channels (flow)
+
+    @property
+    def subbands(self) -> tuple[int, ...]:
+        return subband_layout(self.input_dim, self.target_fs)
+
+    @property
+    def max_sub(self) -> int:
+        return max(self.subbands)
+
+
+# ---------------------------------------------------------------------------
+# Static index maps (numpy, trace-time constants)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _band_maps(subbands: tuple[int, ...], n_bins_in: int, n_bands: int):
+    """Gather/scatter maps for the padded band-stacked layout.
+
+    Returns:
+      gather (K, W): indices into the interleaved re/im spectrum of length
+        2*n_bins_in (+1 zero slot at index 2*n_bins_in) for each band slot.
+      chan_mask (K, W): 1.0 where the slot is a real channel of the band
+        (incl. the reference's zero-padding of a truncated last band).
+      flat_valid (n_bins_in,): indices into the flattened (K*max_sub,) complex
+        band stack recovering bins 0..n_bins_in-1 in order.
+    """
+    K = n_bands
+    W = 2 * max(subbands)
+    zero_slot = 2 * n_bins_in
+    gather = np.full((K, W), zero_slot, dtype=np.int32)
+    chan_mask = np.zeros((K, W), dtype=np.float32)
+    flat_valid = np.zeros((n_bins_in,), dtype=np.int32)
+    off = 0
+    max_sub = max(subbands)
+    for i in range(K):
+        sub = subbands[i]
+        for j in range(sub):
+            b = off + j
+            if b < n_bins_in:
+                gather[i, 2 * j] = 2 * b
+                gather[i, 2 * j + 1] = 2 * b + 1
+                flat_valid[b] = i * max_sub + j
+            # channels up to 2*sub are "real" for the norm even when the bin
+            # is beyond n_bins_in (reference zero-pads the truncated band and
+            # normalizes over the full subband width).
+            chan_mask[i, 2 * j] = 1.0
+            chan_mask[i, 2 * j + 1] = 1.0
+        off += sub
+    return gather, chan_mask, flat_valid
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / float(np.sqrt(fan_in))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _init_band_split(key, cfg: BSRNNConfig):
+    subs = cfg.subbands
+    K, W, C = len(subs), 2 * cfg.max_sub, cfg.num_channel
+    norm_scale = np.zeros((K, W), np.float32)
+    norm_bias = np.zeros((K, W), np.float32)
+    w = np.zeros((K, W, C), np.float32)
+    b = np.zeros((K, C), np.float32)
+    keys = jax.random.split(key, 2 * K)
+    for i, sub in enumerate(subs):
+        cw = 2 * sub
+        norm_scale[i, :cw] = 1.0
+        w[i, :cw] = np.asarray(_uniform(keys[2 * i], (cw, C), cw))
+        b[i] = np.asarray(_uniform(keys[2 * i + 1], (C,), cw))
+    return {
+        "norm_scale": jnp.asarray(norm_scale),
+        "norm_bias": jnp.asarray(norm_bias),
+        "w": jnp.asarray(w),
+        "b": jnp.asarray(b),
+    }
+
+
+def _init_layers(key, cfg: BSRNNConfig):
+    """Parameter-stacked dual-path layers (leading axis = layer)."""
+    N = cfg.num_channel
+    hdim = 2 * N
+    t_out = hdim if cfg.causal else 2 * hdim
+    L = cfg.num_layer
+    keys = jax.random.split(key, 7 * L)
+    per_layer = []
+    for i in range(L):
+        k = keys[7 * i : 7 * i + 7]
+        layer = {
+            "norm_time_scale": jnp.ones((N,)),
+            "norm_time_bias": jnp.zeros((N,)),
+            "rnn_time": lstm_ops.init_lstm(k[0], N, hdim, bidirectional=not cfg.causal),
+            "fc_time_w": _uniform(k[1], (t_out, N), t_out),
+            "fc_time_b": _uniform(k[2], (N,), t_out),
+            "norm_freq_scale": jnp.ones((N,)),
+            "norm_freq_bias": jnp.zeros((N,)),
+            "rnn_freq": lstm_ops.init_lstm(k[3], N, hdim, bidirectional=True),
+            "fc_freq_w": _uniform(k[4], (4 * N, N), 4 * N),
+            "fc_freq_b": _uniform(k[5], (N,), 4 * N),
+        }
+        if cfg.with_condition:
+            # GaussianFourierProjection W: N(0,1)*scale, embedding_size=N//2
+            layer["t_proj_w"] = jax.random.normal(k[6], (N // 2,))
+        per_layer.append(layer)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+
+def _init_mask_decoder(key, cfg: BSRNNConfig):
+    """espnet MaskDecoder: per band [GN(C), Conv(C->4C), tanh, Conv(4C->4*sub),
+    GLU] for mask and residual heads (value/gate halves stored pre-split)."""
+    subs = cfg.subbands
+    K, C, W = len(subs), cfg.num_channel, 2 * cfg.max_sub
+    keys = jax.random.split(key, 8 * K)
+    out = {}
+    for head_i, head in enumerate(("mask", "residual")):
+        w1 = np.zeros((K, C, 4 * C), np.float32)
+        b1 = np.zeros((K, 4 * C), np.float32)
+        wv = np.zeros((K, 4 * C, W), np.float32)
+        wg = np.zeros((K, 4 * C, W), np.float32)
+        bv = np.zeros((K, W), np.float32)
+        bg = np.zeros((K, W), np.float32)
+        for i, sub in enumerate(subs):
+            k = keys[8 * i + 4 * head_i : 8 * i + 4 * head_i + 4]
+            w1[i] = np.asarray(_uniform(k[0], (C, 4 * C), C))
+            b1[i] = np.asarray(_uniform(k[1], (4 * C,), C))
+            cw = 2 * sub
+            wfull = np.asarray(_uniform(k[2], (4 * C, 2 * cw), 4 * C))
+            bfull = np.asarray(_uniform(k[3], (2 * cw,), 4 * C))
+            wv[i, :, :cw], wg[i, :, :cw] = wfull[:, :cw], wfull[:, cw:]
+            bv[i, :cw], bg[i, :cw] = bfull[:cw], bfull[cw:]
+        out[head] = {
+            "norm_scale": jnp.ones((K, C)),
+            "norm_bias": jnp.zeros((K, C)),
+            "w1": jnp.asarray(w1),
+            "b1": jnp.asarray(b1),
+            "wv": jnp.asarray(wv),
+            "wg": jnp.asarray(wg),
+            "bv": jnp.asarray(bv),
+            "bg": jnp.asarray(bg),
+        }
+    return out
+
+
+def init_bsrnn(key, cfg: BSRNNConfig):
+    ks = jax.random.split(key, 5)
+    params = {
+        "band_split": _init_band_split(ks[0], cfg),
+        "layers": _init_layers(ks[1], cfg),
+        "mask_decoder": _init_mask_decoder(ks[2], cfg),
+    }
+    if cfg.with_condition:
+        N = cfg.num_channel
+        params["band_split_y"] = _init_band_split(ks[3], cfg)
+        params["condition_fc_w"] = _uniform(ks[4], (2 * N, N), 2 * N)
+        params["condition_fc_b"] = jnp.zeros((N,))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps):
+    """(B, T, F) complex -> (B, T, K, N)."""
+    B, T, F = spec.shape
+    gather, chan_mask, _ = _band_maps(cfg.subbands, F, n_bands)
+    x2 = jnp.stack([spec.real, spec.imag], axis=-1).reshape(B, T, 2 * F)
+    x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, 1)))  # zero slot
+    blocks = x2[..., jnp.asarray(gather)]  # (B, T, K, W)
+    mask = jnp.asarray(chan_mask)[None, None]  # (1, 1, K, W)
+    h = masked_group_norm(
+        blocks,
+        p["norm_scale"][:n_bands][None, None],
+        p["norm_bias"][:n_bands][None, None],
+        mask,
+        axes=(1, 3),
+        eps=eps,
+    )
+    return (
+        jnp.einsum("btkw,kwc->btkc", h, p["w"][:n_bands]) + p["b"][:n_bands][None, None]
+    )
+
+
+def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
+    """One dual-path block on (B, T, K, N)."""
+    B, T, K, N = z.shape
+    # --- time path ---
+    out = group_norm(
+        z, layer["norm_time_scale"], layer["norm_time_bias"], axes=(1, 2, 3), eps=eps
+    )
+    if t is not None:
+        # GaussianFourierProjection (models/bsrnn_flowse.py:90-99): per-layer
+        # random Fourier t-embedding of size N, broadcast over (T, K).
+        proj = t[:, None] * layer["t_proj_w"][None, :] * (2.0 * np.pi)
+        t_emb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)  # (B, N)
+        out = out + t_emb[:, None, None, :]
+    seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N)
+    if cfg.causal:
+        h = lstm_ops.lstm(layer["rnn_time"], seq)
+    else:
+        h = lstm_ops.bilstm(layer["rnn_time"], seq)
+    h = h @ layer["fc_time_w"] + layer["fc_time_b"]
+    z = z + h.reshape(B, K, T, N).transpose(0, 2, 1, 3)
+    # --- band path ---
+    out = group_norm(
+        z, layer["norm_freq_scale"], layer["norm_freq_bias"], axes=(1, 2, 3), eps=eps
+    )
+    seq = out.reshape(B * T, K, N)
+    h = lstm_ops.bilstm(layer["rnn_freq"], seq)
+    h = h @ layer["fc_freq_w"] + layer["fc_freq_b"]
+    z = z + h.reshape(B, T, K, N)
+    return z
+
+
+def _run_layers(params, z, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
+    def body(carry, layer):
+        return _dual_path_layer(carry, layer, cfg, t, eps), None
+
+    z, _ = jax.lax.scan(body, z, params["layers"])
+    return z
+
+
+def _mask_decoder_head(p, z, cfg: BSRNNConfig, n_bands: int, n_bins: int, eps):
+    """(B, T, K, N) -> (B, T, n_bins) complex (one head: mask or residual)."""
+    B, T, K, N = z.shape
+    _, chan_mask, flat_valid = _band_maps(cfg.subbands, n_bins, n_bands)
+    # per-band GroupNorm(1, C) over (C, T): stats per (batch, band)
+    h = z
+    mean = jnp.mean(h, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(h - mean), axis=(1, 3), keepdims=True)
+    h = (h - mean) / jnp.sqrt(var + eps)
+    h = h * p["norm_scale"][:n_bands][None, None] + p["norm_bias"][:n_bands][None, None]
+    h = jnp.tanh(jnp.einsum("btkc,kcd->btkd", h, p["w1"][:n_bands]) + p["b1"][:n_bands][None, None])
+    val = jnp.einsum("btkd,kdw->btkw", h, p["wv"][:n_bands]) + p["bv"][:n_bands][None, None]
+    gate = jnp.einsum("btkd,kdw->btkw", h, p["wg"][:n_bands]) + p["bg"][:n_bands][None, None]
+    out = val * jax.nn.sigmoid(gate) * jnp.asarray(chan_mask)[None, None]
+    cplx = out.reshape(B, T, K, cfg.max_sub, 2)
+    cplx = jax.lax.complex(cplx[..., 0], cplx[..., 1]).reshape(B, T, K * cfg.max_sub)
+    return cplx[..., jnp.asarray(flat_valid)]  # (B, T, n_bins)
+
+
+def bsrnn_apply(
+    params,
+    spec: jnp.ndarray,
+    cfg: BSRNNConfig,
+    fs: int,
+    t: Optional[jnp.ndarray] = None,
+    spec_cond: Optional[jnp.ndarray] = None,
+):
+    """Core BSRNN.  spec: (B, T, F) complex at sampling rate ``fs``.
+
+    Discriminative mode (t/spec_cond None): returns mask*spec + residual.
+    Conditional mode handled by models/bsrnn_flowse.py (GradDecoder variant).
+    """
+    B, T, F = spec.shape
+    eps = cfg.norm_eps
+    K = band_count(cfg.input_dim, cfg.target_fs, fs, F)
+    z = _band_split_apply(params["band_split"], spec, cfg, K, eps)
+    if cfg.with_condition:
+        assert spec_cond is not None
+        zy = _band_split_apply(params["band_split_y"], spec_cond, cfg, K, eps)
+        z = jnp.concatenate([z, zy], axis=-1) @ params["condition_fc_w"] + params["condition_fc_b"]
+    z = _run_layers(params, z, cfg, t, eps)
+    m = _mask_decoder_head(params["mask_decoder"]["mask"], z, cfg, K, F, eps)
+    r = _mask_decoder_head(params["mask_decoder"]["residual"], z, cfg, K, F, eps)
+    return m * spec + r
+
+
+# ---------------------------------------------------------------------------
+# Discriminative SE wrapper (STFT -> BSRNN -> iSTFT)
+# ---------------------------------------------------------------------------
+
+
+def bsrnn_se_apply(params, cfg: BSRNNConfig, stft_cfg, noisy: jnp.ndarray, fs: int):
+    """Waveform SE model (reference models/bsrnn.py:36-41).
+
+    noisy: (B, T) waveform -> (enhanced (B, T), enhanced_spec (B, frames, bins)).
+    """
+    from urgent2026_challenge_track1_tpu.dsp import stft as dsp
+
+    spec = dsp.stft_encode(noisy, fs, stft_cfg)
+    enh_spec = bsrnn_apply(params, spec, cfg, fs)
+    wav = dsp.stft_decode(enh_spec, fs, stft_cfg, length=noisy.shape[-1])
+    return wav, enh_spec

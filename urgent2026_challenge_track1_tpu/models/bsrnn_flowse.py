@@ -1,0 +1,228 @@
+"""Conditional BSRNN vector-field network + FlowSE model (generative path).
+
+Behavioral spec: ``/root/reference/baseline_code/models/bsrnn_flowse.py``
+(BandSplit x2 + condition_fc, per-layer Gaussian-Fourier t-embedding, dual-path
+core, GradDecoder with 5x5 conv+GLU heads, g = m*x_t + r) and
+``flow_model.py`` (STFT featurization with exponent compression, CFM training
+target, Euler-sampler enhance, vector field = -dnn(cat(x, y), t)).
+
+Layout note: the reference shuttles (B, 1, F, T) complex tensors; here specs
+stay (B, T, F) complex end-to-end (the dsp/stft layout), which removes all
+permutes around the encoder/decoder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from urgent2026_challenge_track1_tpu.dsp import stft as dsp
+from urgent2026_challenge_track1_tpu.models import bsrnn as B
+from urgent2026_challenge_track1_tpu.models.odes import FlowMatching, complex_normal_like
+from urgent2026_challenge_track1_tpu.sampling import sample_flow
+
+__all__ = [
+    "FlowSEConfig",
+    "init_flowse",
+    "vector_field",
+    "flowse_loss",
+    "flowse_enhance",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowSEConfig:
+    """conf/models/BSRNN_flowse.yaml defaults."""
+
+    n_fft: int = 1536
+    hop_length: int = 384
+    spec_abs_exponent: float = 0.667
+    spec_factor: float = 0.065
+    bsrnn_hidden: int = 384
+    num_layer: int = 6
+    sigma_min: float = 0.05
+    sigma_max: float = 0.5
+    t_eps: float = 0.03
+    T_rev: float = 1.0
+    loss_type: str = "mse"  # "mse" | "mae"
+    sub_channel: int = 16
+
+    @property
+    def stft_cfg(self) -> dsp.STFTConfig:
+        return dsp.STFTConfig(
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            spec_transform_type="exponent",
+            spec_abs_exponent=self.spec_abs_exponent,
+            spec_factor=self.spec_factor,
+        )
+
+    @property
+    def dnn_cfg(self) -> B.BSRNNConfig:
+        return B.BSRNNConfig(
+            input_dim=self.n_fft // 2 + 1,
+            num_channel=self.bsrnn_hidden,
+            num_layer=self.num_layer,
+            causal=False,
+            with_condition=True,
+            sub_channel=self.sub_channel,
+        )
+
+    @property
+    def ode(self) -> FlowMatching:
+        return FlowMatching(self.sigma_min, self.sigma_max, self.T_rev)
+
+
+# ---------------------------------------------------------------------------
+# GradDecoder (reference models/bsrnn_flowse.py:103-168)
+# ---------------------------------------------------------------------------
+
+
+def _init_grad_decoder(key, cfg: B.BSRNNConfig):
+    """Per band: GN(C) -> Conv1d(C -> sub*sc) -> tanh; then a shared
+    Conv2d(sc -> 4, 5x5, pad 2) + GLU head per output (mask, residual)."""
+    subs = cfg.subbands
+    K, C, sc, SM = len(subs), cfg.num_channel, cfg.sub_channel, cfg.max_sub
+    keys = jax.random.split(key, 4 * K + 4)
+    heads = {}
+    for h_i, head in enumerate(("mask", "residual")):
+        w = np.zeros((K, C, sc, SM), np.float32)
+        b = np.zeros((K, sc, SM), np.float32)
+        for i, sub in enumerate(subs):
+            k = keys[4 * i + 2 * h_i : 4 * i + 2 * h_i + 2]
+            # torch Conv1d(C, sub*sc, 1): weight (sub*sc, C); channel index
+            # c_out = s_c * sub + s_b  (view(B, sc, sub, T) layout)
+            wfull = np.asarray(B._uniform(k[0], (sc * sub, C), C)).reshape(sc, sub, C)
+            bfull = np.asarray(B._uniform(k[1], (sc * sub,), C)).reshape(sc, sub)
+            w[i, :, :, :sub] = wfull.transpose(2, 0, 1)
+            b[i, :, :sub] = bfull
+        kc = keys[4 * K + 2 * h_i : 4 * K + 2 * h_i + 2]
+        heads[head] = {
+            "norm_scale": jnp.ones((K, C)),
+            "norm_bias": jnp.zeros((K, C)),
+            "w": jnp.asarray(w),
+            "b": jnp.asarray(b),
+            # Conv2d(sc, 4, 5, 1, 2): HWIO layout (5, 5, sc, 4)
+            "conv_w": B._uniform(kc[0], (5, 5, sc, 4), sc * 25),
+            "conv_b": B._uniform(kc[1], (4,), sc * 25),
+        }
+    return heads
+
+
+def _grad_decoder_head(p, z, cfg: B.BSRNNConfig, n_bands: int, n_bins: int, eps):
+    """(B, T, K, N) -> (B, T, n_bins) complex."""
+    Bb, T, K, N = z.shape
+    _, _, flat_valid = B._band_maps(cfg.subbands, n_bins, n_bands)
+    sc, SM = cfg.sub_channel, cfg.max_sub
+    # per-band GroupNorm(1, C) over (C, T)
+    mean = jnp.mean(z, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(z - mean), axis=(1, 3), keepdims=True)
+    h = (z - mean) / jnp.sqrt(var + eps)
+    h = h * p["norm_scale"][:n_bands][None, None] + p["norm_bias"][:n_bands][None, None]
+    h = jnp.tanh(
+        jnp.einsum("btkc,kcsm->btksm", h, p["w"][:n_bands]) + p["b"][:n_bands][None, None]
+    )  # (B, T, K, sc, SM)
+    # concat bands along frequency (valid bins only) -> (B, T, F_eff, sc)
+    flat = h.transpose(0, 1, 3, 2, 4).reshape(Bb, T, sc, K * SM)
+    feff = flat[..., jnp.asarray(flat_valid)]  # (B, T, sc, F_eff)
+    img = feff.transpose(0, 3, 1, 2)  # (B, F_eff, T, sc): NHWC with H=F, W=T
+    out = jax.lax.conv_general_dilated(
+        img,
+        p["conv_w"],
+        window_strides=(1, 1),
+        padding=((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["conv_b"]
+    a, g = out[..., :2], out[..., 2:]
+    out = a * jax.nn.sigmoid(g)  # (B, F, T, 2): GLU(dim=1) on (B,4,F,T)
+    cplx = jax.lax.complex(out[..., 0], out[..., 1])  # (B, F, T)
+    return cplx.transpose(0, 2, 1)  # (B, T, F)
+
+
+# ---------------------------------------------------------------------------
+# Vector-field network
+# ---------------------------------------------------------------------------
+
+
+def init_flowse(key, cfg: FlowSEConfig):
+    dnn_cfg = cfg.dnn_cfg
+    k1, k2 = jax.random.split(key)
+    params = B.init_bsrnn(k1, dnn_cfg)
+    del params["mask_decoder"]
+    params["grad_decoder"] = _init_grad_decoder(k2, dnn_cfg)
+    return params
+
+
+def _dnn_apply(params, cfg: B.BSRNNConfig, x_spec, y_spec, t, fs: int):
+    """Conditional BSRNN: g = m * x_t + r (models/bsrnn_flowse.py:255-318)."""
+    _, _, F = x_spec.shape
+    eps = cfg.norm_eps
+    K = B.band_count(cfg.input_dim, cfg.target_fs, fs, F)
+    zx = B._band_split_apply(params["band_split"], x_spec, cfg, K, eps)
+    zy = B._band_split_apply(params["band_split_y"], y_spec, cfg, K, eps)
+    z = (
+        jnp.concatenate([zx, zy], axis=-1) @ params["condition_fc_w"]
+        + params["condition_fc_b"]
+    )
+    z = B._run_layers(params, z, cfg, t, eps)
+    m = _grad_decoder_head(params["grad_decoder"]["mask"], z, cfg, K, F, eps)
+    r = _grad_decoder_head(params["grad_decoder"]["residual"], z, cfg, K, F, eps)
+    return m * x_spec + r
+
+
+def vector_field(params, cfg: FlowSEConfig, x, t, y, fs: int):
+    """VF(x, t, y) = -dnn(x, y, t)  (flow_model.py:203-209)."""
+    return -_dnn_apply(params, cfg.dnn_cfg, x, y, t, fs)
+
+
+# ---------------------------------------------------------------------------
+# Training loss + inference
+# ---------------------------------------------------------------------------
+
+
+def flowse_loss(params, cfg: FlowSEConfig, key, clean, noisy, fs: int):
+    """Conditional-flow-matching loss (flow_model.py:149-187).  (B,T) wavs."""
+    clean = jnp.nan_to_num(clean)
+    noisy = jnp.nan_to_num(noisy)
+    x0 = dsp.stft_encode(clean, fs, cfg.stft_cfg)
+    y = dsp.stft_encode(noisy, fs, cfg.stft_cfg)
+    kt, kz = jax.random.split(key)
+    Bsz = x0.shape[0]
+    # t = (1 - U[0,1)) * (T_rev - t_eps) + t_eps  in (t_eps, T_rev]
+    u = jax.random.uniform(kt, (Bsz,), jnp.float32)
+    t = jnp.minimum((1.0 - u) * (cfg.T_rev - cfg.t_eps) + cfg.t_eps, cfg.T_rev)
+    ode = cfg.ode
+    mean, std = ode.marginal_prob(x0, t, y)
+    z = complex_normal_like(kz, x0)
+    xt = mean + std.reshape(-1, 1, 1) * z
+    cond_vf = ode.der_std(t).reshape(-1, 1, 1) * z + ode.der_mean(x0, t, y)
+    vf = vector_field(params, cfg, xt, t, y, fs)
+    err = vf - cond_vf
+    if cfg.loss_type == "mse":
+        losses = jnp.square(jnp.abs(err))
+    elif cfg.loss_type == "mae":
+        losses = jnp.abs(err)
+    else:
+        raise ValueError(cfg.loss_type)
+    # 0.5 * sum over (T, F) then mean over batch (flow_model.py:122-132)
+    return jnp.mean(0.5 * jnp.sum(losses.reshape(Bsz, -1), axis=-1))
+
+
+def flowse_enhance(
+    params, cfg: FlowSEConfig, key, noisy, fs: int, N: int = 15, solver: str = "euler"
+):
+    """Sampler-based enhancement (flow_model.py:189-200).  (B,T) -> (B,T)."""
+    y = dsp.stft_encode(noisy, fs, cfg.stft_cfg)
+
+    def vf_fn(x, t, y_):
+        return vector_field(params, cfg, x, t, y_, fs)
+
+    sample, _ = sample_flow(
+        vf_fn, cfg.ode, key, y, solver=solver, N=N, T_rev=cfg.T_rev, t_eps=cfg.t_eps
+    )
+    return dsp.stft_decode(sample, fs, cfg.stft_cfg, length=noisy.shape[-1])
