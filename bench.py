@@ -1,0 +1,64 @@
+#!/bin/env python
+"""Benchmark: flagship BSRNN inference real-time factor on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "bsrnn_inference_rtf", "value": N, "unit": "x_realtime",
+   "vs_baseline": N}
+
+The driver-set north star (BASELINE.json) is RTF >= 100x per chip, so
+``vs_baseline = rtf / 100``.  Runs on whatever platform jax picks (the real
+TPU under the driver; CPU if forced locally).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+
+    cfg = M.BSRNNConfig(input_dim=481, num_channel=192, num_layer=6, causal=False)
+    stft_cfg = STFTConfig(n_fft=960, hop_length=480)
+    params = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
+
+    fs = 48000
+    seconds = 4
+    B = 4
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, fs * seconds)).astype(np.float32)
+        * 0.1
+    )
+
+    @jax.jit
+    def fn(params, wav):
+        out, _ = M.bsrnn_se_apply(params, cfg, stft_cfg, wav, fs)
+        return out
+
+    # warmup / compile
+    fn(params, wav).block_until_ready()
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        fn(params, wav).block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+    audio_seconds = B * seconds
+    rtf = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "bsrnn_inference_rtf",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

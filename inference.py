@@ -1,0 +1,99 @@
+#!/bin/env python
+"""Inference CLI — reference-compatible surface (baseline_code/inference.py).
+
+Usage:
+  python inference.py --input_scp in.scp --ckpt_path <ckpt> --output_dir out/
+
+Per-utterance: load wav -> enhance (discriminative single pass, or flow
+sampler N=15 Euler steps) -> peak-normalize to 0.9 -> write
+``out/wav/{uid}.wav`` + ``out/inf.scp``.
+
+TPU notes: inputs are padded to 1 s buckets so the number of compiled
+programs stays bounded across arbitrary-length utterances; outputs are
+sliced back to the true length before normalization.
+"""
+
+import argparse
+import os
+
+import numpy as np
+from urgent2026_challenge_track1_tpu.utils import audio_io as sf
+
+
+def _enhance_fns(kind, params, model_cfg, stft_cfg):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from urgent2026_challenge_track1_tpu.models import bsrnn as bsrnn_mod
+    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as flow_mod
+
+    if kind == "discriminative":
+
+        @partial(jax.jit, static_argnums=(1,))
+        def enhance(wav, fs):
+            out, _ = bsrnn_mod.bsrnn_se_apply(params, model_cfg, stft_cfg, wav, fs)
+            return out
+
+        return lambda wav, fs, key: enhance(wav, fs)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def enhance_flow(wav, key, fs):
+        return flow_mod.flowse_enhance(params, model_cfg, key, wav, fs, N=15)
+
+    return lambda wav, fs, key: enhance_flow(wav, key, fs)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from urgent2026_challenge_track1_tpu.utils.checkpoint import (
+        load_model_for_inference,
+    )
+
+    kind, params, model_cfg, stft_cfg = load_model_for_inference(args.ckpt_path)
+    print(f"Loaded {kind} model from {args.ckpt_path}")
+    enhance = _enhance_fns(kind, params, model_cfg, stft_cfg)
+
+    input_audios = {}
+    with open(args.input_scp) as f:
+        for line in f:
+            utt, wav = line.strip().split()
+            input_audios[utt] = wav
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    os.makedirs(args.output_dir + "/wav", exist_ok=True)
+    key = jax.random.PRNGKey(0)
+
+    with open(args.output_dir + "/inf.scp", "w") as f:
+        for uid in input_audios:
+            wav, sr = sf.read(input_audios[uid])
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            T = wav.shape[0]
+            # pad to 1 s buckets: bounded compile count over utterance lengths
+            bucket = -(-T // sr) * sr
+            x = np.zeros((1, bucket), np.float32)
+            x[0, :T] = wav
+            key, sub = jax.random.split(key)
+            enhanced = np.asarray(enhance(jnp.asarray(x), int(sr), sub))[0, :T]
+            enhanced = enhanced / (np.abs(enhanced).max() or 1.0) * 0.9
+            out_path = f"{args.output_dir}/wav/{uid}.wav"
+            sf.write(out_path, enhanced, sr)
+            print(f"{uid} {out_path}", file=f)
+
+    print("done")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input_scp", type=str, required=True,
+                        help="Path to the scp file listing input audio")
+    parser.add_argument("--output_dir", type=str, default="./tmp/se",
+                        help="Output directory for enhanced speech")
+    parser.add_argument("--ckpt_path", type=str, required=True,
+                        help="Checkpoint: orbax dir or torch .ckpt")
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="kept for reference-CLI parity; jax picks devices")
+    main(parser.parse_args())

@@ -1,0 +1,140 @@
+"""Data pipeline: scp readers, dataset, sampler invariants, collate, loader."""
+
+import os
+
+import numpy as np
+import pytest
+from urgent2026_challenge_track1_tpu.utils import audio_io as sf
+
+from urgent2026_challenge_track1_tpu.data import (
+    GroupedBatchSampler,
+    PreSimulatedDataset,
+    collate_fn,
+    read_kv_scp,
+    read_source_scp,
+)
+from urgent2026_challenge_track1_tpu.data.dataset import PrefetchLoader, bucket_length
+
+
+@pytest.fixture(scope="module")
+def toy_dataset(tmp_path_factory):
+    """12 utterances over fs {8000, 16000} with varying lengths."""
+    root = tmp_path_factory.mktemp("presim")
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(12):
+        fs = 8000 if i % 2 == 0 else 16000
+        T = fs // 2 + 997 * i
+        uid = f"utt{i:02d}"
+        clean = (0.1 * rng.standard_normal(T)).astype(np.float32)
+        noisy = clean + (0.05 * rng.standard_normal(T)).astype(np.float32)
+        cp = root / f"{uid}_c.wav"
+        np_ = root / f"{uid}_n.wav"
+        sf.write(cp, clean, fs)
+        sf.write(np_, noisy, fs)
+        rows.append((uid, fs, T, str(cp), str(np_)))
+    with open(root / "spk1.scp", "w") as f:
+        for uid, fs, T, cp, np_p in rows:
+            f.write(f"{uid} {cp}\n")
+    with open(root / "wav.scp", "w") as f:
+        for uid, fs, T, cp, np_p in rows:
+            f.write(f"{uid} {np_p}\n")
+    with open(root / "utt2fs", "w") as f:
+        for uid, fs, T, cp, np_p in rows:
+            f.write(f"{uid} {fs}\n")
+    with open(root / "speech_length.scp", "w") as f:
+        for uid, fs, T, cp, np_p in rows:
+            f.write(f"{uid} {T}\n")
+    return str(root), rows
+
+
+def test_scp_readers(toy_dataset):
+    root, rows = toy_dataset
+    kv = read_kv_scp(f"{root}/utt2fs")
+    assert len(kv) == 12 and kv["utt00"] == "8000"
+
+
+def test_presimulated_dataset(toy_dataset):
+    root, rows = toy_dataset
+    ds = PreSimulatedDataset(
+        f"{root}/spk1.scp", f"{root}/wav.scp", f"{root}/utt2fs",
+        f"{root}/speech_length.scp", max_duration=6000,
+    )
+    assert len(ds) == 12
+    clean, noisy, fs, T = ds[0]
+    assert clean.shape == noisy.shape
+    assert T <= 6000
+    lengths = ds.get_source_length()
+    assert max(lengths) <= 6000
+
+
+def test_sampler_single_fs_batches_and_rank_disjoint(toy_dataset):
+    root, rows = toy_dataset
+    ds = PreSimulatedDataset(
+        f"{root}/spk1.scp", f"{root}/wav.scp", f"{root}/utt2fs",
+        f"{root}/speech_length.scp",
+    )
+    srs = ds.get_srs()
+    seen = [set(), set()]
+    for rank in (0, 1):
+        sampler = GroupedBatchSampler(ds, batch_size=2, rank=rank, world_size=2)
+        for batch in sampler:
+            batch_srs = {srs[i] for i in batch}
+            assert len(batch_srs) == 1  # one fs per batch
+            seen[rank].update(batch)
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(12))
+
+
+def test_sampler_epoch_reshuffles(toy_dataset):
+    root, rows = toy_dataset
+    ds = PreSimulatedDataset(
+        f"{root}/spk1.scp", f"{root}/wav.scp", f"{root}/utt2fs",
+        f"{root}/speech_length.scp",
+    )
+    s = GroupedBatchSampler(ds, batch_size=2, rank=0, world_size=1)
+    s.set_epoch(0)
+    order0 = [tuple(b) for b in s]
+    s.set_epoch(1)
+    order1 = [tuple(b) for b in s]
+    s.set_epoch(0)
+    order0b = [tuple(b) for b in s]
+    assert order0 == order0b  # deterministic per epoch
+    assert order0 != order1  # reshuffled across epochs
+
+
+def test_bucket_length():
+    assert bucket_length(7999, 8000, 1000) == 8000
+    assert bucket_length(8000, 8000, 1000) == 8000
+    assert bucket_length(8001, 8000, 1000) == 16000
+    assert bucket_length(5, 8000, 0) == 5
+
+
+def test_collate_pads_to_bucket(toy_dataset):
+    root, rows = toy_dataset
+    ds = PreSimulatedDataset(
+        f"{root}/spk1.scp", f"{root}/wav.scp", f"{root}/utt2fs",
+        f"{root}/speech_length.scp",
+    )
+    items = [ds[0], ds[2]]  # both fs=8000
+    clean, noisy, fs, lengths = collate_fn(items, pad_quantum_ms=1000)
+    assert fs == 8000
+    assert clean.shape == noisy.shape
+    assert clean.shape[2] % 8000 == 0
+    # padding is zeros beyond each item's true length
+    assert np.all(clean[0, 0, lengths[0]:] == 0)
+
+
+def test_prefetch_loader_yields_all(toy_dataset):
+    root, rows = toy_dataset
+    ds = PreSimulatedDataset(
+        f"{root}/spk1.scp", f"{root}/wav.scp", f"{root}/utt2fs",
+        f"{root}/speech_length.scp",
+    )
+    sampler = GroupedBatchSampler(ds, batch_size=2, rank=0, world_size=1)
+    loader = PrefetchLoader(ds, sampler, num_workers=2)
+    n = 0
+    for clean, noisy, fs, lengths in loader:
+        assert clean.ndim == 3
+        n += 1
+    assert n == len(sampler)

@@ -1,0 +1,120 @@
+"""Trainer: full fit loop on synthetic data, checkpoint save/resume, dp mesh."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from urgent2026_challenge_track1_tpu.utils import audio_io as sf
+
+from urgent2026_challenge_track1_tpu.config import Config
+
+
+@pytest.fixture()
+def toy_dirs(tmp_path):
+    rng = np.random.default_rng(0)
+
+    def make(dirname, n):
+        root = tmp_path / dirname
+        root.mkdir()
+        scps = {k: open(root / k, "w") for k in ("spk1.scp", "wav.scp", "utt2fs", "speech_length.scp")}
+        for i in range(n):
+            fs = 8000
+            T = 4000 + 400 * i
+            uid = f"{dirname}{i:02d}"
+            clean = (0.1 * rng.standard_normal(T)).astype(np.float32)
+            noisy = clean + (0.05 * rng.standard_normal(T)).astype(np.float32)
+            cp, np_p = root / f"{uid}_c.wav", root / f"{uid}_n.wav"
+            sf.write(cp, clean, fs)
+            sf.write(np_p, noisy, fs)
+            print(uid, cp, file=scps["spk1.scp"])
+            print(uid, np_p, file=scps["wav.scp"])
+            print(uid, fs, file=scps["utt2fs"])
+            print(uid, T, file=scps["speech_length.scp"])
+        for f in scps.values():
+            f.close()
+        return str(root)
+
+    return make("train", 8), make("valid", 4)
+
+
+def _cfg(toy_dirs, tmp_path, **over):
+    train_dir, valid_dir = toy_dirs
+    base = dict(
+        train_set_path=train_dir,
+        valid_set_path=valid_dir,
+        train_set_dynamic_mixing=False,
+        batch_size=2,
+        num_worker=2,
+        num_train_epochs=1,
+        val_check_interval=4,
+        max_duration=6000,
+        model_type="discriminative",
+        model_configs={"num_channel": 8, "num_layer": 1},
+        mesh_shape="dp=2",
+        log_every_steps=1,
+        save_top_k=2,
+        train_tag="test_run",
+    )
+    base.update(over)
+    return Config(**base)
+
+
+def test_fit_and_resume(toy_dirs, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from urgent2026_challenge_track1_tpu.data import AudioDataModule
+    from urgent2026_challenge_track1_tpu.train.trainer import Trainer
+
+    cfg = _cfg(toy_dirs, tmp_path)
+    dm = AudioDataModule(cfg)
+    trainer = Trainer(cfg, dm)
+    state = trainer.fit()
+    assert state.step == 4  # 8 train utts / batch 2 = 4 steps
+    # checkpoint written at val_check_interval=4
+    assert trainer.ckpt.latest_step() == 4
+    # metrics written
+    assert os.path.exists(os.path.join(trainer.exp_dir, "metrics.jsonl"))
+
+    # resume: a fresh trainer restores the step and restarts the in-flight
+    # epoch (loader position is not checkpointed, like a Lightning mid-epoch
+    # restart), then continues to num_train_epochs
+    cfg2 = _cfg(toy_dirs, tmp_path, num_train_epochs=2)
+    trainer2 = Trainer(cfg2, AudioDataModule(cfg2))
+    state2 = trainer2.maybe_resume(trainer2.init_state())
+    assert state2.step == 4 and state2.epoch == 0
+    state2 = trainer2.fit(state2)
+    assert state2.step == 12 and state2.epoch == 2
+
+
+def test_flow_fit_updates_ema(toy_dirs, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from urgent2026_challenge_track1_tpu.data import AudioDataModule
+    from urgent2026_challenge_track1_tpu.train.trainer import Trainer
+
+    cfg = _cfg(
+        toy_dirs,
+        tmp_path,
+        model_type="flowse",
+        n_fft=960,
+        hop_length=480,
+        bsrnn_hidden=8,
+        num_layer=1,
+        val_check_interval=100,
+        train_tag="test_flow",
+    )
+    dm = AudioDataModule(cfg)
+    trainer = Trainer(cfg, dm)
+    s0 = trainer.init_state()
+    p0 = jax.tree.leaves(s0.params)[0].copy()
+    state = trainer.fit(s0)
+    assert state.ema_params is not None
+    p1 = jax.tree.leaves(state.params)[0]
+    e1 = jax.tree.leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))  # params moved
+    assert not np.allclose(np.asarray(p1), np.asarray(e1))  # ema lags params
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

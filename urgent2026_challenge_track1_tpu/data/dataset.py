@@ -1,0 +1,315 @@
+"""Datasets, fs-grouped length-bucketed batching, and a prefetching loader.
+
+Behavioral spec: reference ``baseline_code/dataset.py`` —
+``PreSimulatedDataset`` (:104-151), ``GroupedBatchSampler`` (:338-401),
+``collate_fn`` (:404-441), ``AudioDataModule`` (:444-524).
+
+TPU-first adaptations:
+  * ``collate_fn`` pads each batch's time axis UP TO A STATIC BUCKET LENGTH
+    (next multiple of ``pad_quantum`` samples) instead of the exact batch max,
+    so the number of distinct compiled (fs, T) programs stays bounded.  The
+    reference's exact-max padding would recompile for nearly every batch.
+  * batches are numpy (host); the trainer places them on the mesh with
+    `parallel.shard_batch` — per-host sharding replaces
+    ``torch.distributed.get_rank()`` (``dataset.py:489-490``).
+  * workers are a thread pool (audio decode releases the GIL in libsndfile);
+    dynamic mixing uses a process pool (see data/dynamic.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from collections import defaultdict
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+from urgent2026_challenge_track1_tpu.utils import audio_io
+
+from urgent2026_challenge_track1_tpu.data.scp import read_kv_scp
+
+__all__ = [
+    "PreSimulatedDataset",
+    "GroupedBatchSampler",
+    "collate_fn",
+    "AudioDataModule",
+    "PrefetchLoader",
+]
+
+
+def read_audio(path: str):
+    """(channels, T) float64 + fs (reference simulate_data_from_param.py:347-361)."""
+    audio, fs = audio_io.read(path)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    else:
+        audio = audio.T
+    return audio, fs
+
+
+class PreSimulatedDataset:
+    """Paired clean/noisy scp dataset with random max_duration cropping."""
+
+    def __init__(self, clean_speech, noisy_speech, utt2fs, speech_length, max_duration=-1):
+        self.clean_speech = read_kv_scp(clean_speech)
+        self.noisy_speech = read_kv_scp(noisy_speech)
+        self.utt2fs = {k: int(v) for k, v in read_kv_scp(utt2fs).items()}
+        self.speech_length = {k: int(v) for k, v in read_kv_scp(speech_length).items()}
+        self.uid = list(self.clean_speech.keys())
+        self.max_duration = max_duration
+        assert len(self.clean_speech) == len(self.noisy_speech)
+        assert len(self.clean_speech) == len(self.utt2fs)
+        assert len(self.clean_speech) == len(self.speech_length)
+
+    def get_source_length(self):
+        if self.max_duration > 0:
+            return [min(self.speech_length[k], self.max_duration) for k in self.uid]
+        return [self.speech_length[k] for k in self.uid]
+
+    def get_srs(self):
+        return [self.utt2fs[k] for k in self.uid]
+
+    def __len__(self):
+        return len(self.clean_speech)
+
+    def __getitem__(self, index):
+        uid = self.uid[index]
+        audio, fs = read_audio(self.clean_speech[uid])
+        assert fs == self.utt2fs[uid]
+        noisy, nfs = read_audio(self.noisy_speech[uid])
+        assert nfs == self.utt2fs[uid]
+        if 0 < self.max_duration < audio.shape[1]:
+            start = random.randint(0, audio.shape[1] - self.max_duration)
+            audio = audio[:, start : start + self.max_duration]
+            noisy = noisy[:, start : start + self.max_duration]
+        return audio, noisy, fs, audio.shape[1]
+
+
+class GroupedBatchSampler:
+    """Groups by fs, sorts by length, rank-shards, buckets, epoch-shuffles.
+
+    Reproduces the reference sampler exactly (``dataset.py:338-401``): groups
+    of one sampling rate, sorted by source length, rank-sliced
+    ``[rank::world_size]``, buckets of ``batch_size * bucket_size_mult``,
+    shuffles (bucket order / in-bucket / batch order) seeded by epoch+rank.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        rank: int = 0,
+        world_size: int = 1,
+        seed: int = 0,
+        drop_last: bool = False,
+        bucket_size_mult: int = 100,
+    ):
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.bucket_size = batch_size * bucket_size_mult
+        self.epoch = 0
+        self.rank = rank
+        self.world_size = world_size
+        self.seed = seed
+
+        sr_groups = defaultdict(list)
+        for idx, sr in enumerate(dataset.get_srs()):
+            sr_groups[sr].append(idx)
+        source_length = dataset.get_source_length()
+        self._lengths = source_length
+        self._srs = dataset.get_srs()
+        self.buckets = []
+        for sr, indices in sr_groups.items():
+            sorted_indices = sorted(indices, key=lambda x: source_length[x])
+            sorted_indices = sorted_indices[self.rank :: self.world_size]
+            for i in range(0, len(sorted_indices), self.bucket_size):
+                self.buckets.append(sorted_indices[i : i + self.bucket_size])
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[list[int]]:
+        rng = random.Random(self.epoch + self.rank)
+        buckets = [list(b) for b in self.buckets]
+        rng.shuffle(buckets)
+        all_batches = []
+        for bucket in buckets:
+            rng.shuffle(bucket)
+            for i in range(0, len(bucket), self.batch_size):
+                batch = bucket[i : i + self.batch_size]
+                if len(batch) < self.batch_size and self.drop_last:
+                    continue
+                all_batches.append(batch)
+        rng.shuffle(all_batches)
+        return iter(all_batches)
+
+    def __len__(self):
+        total = 0
+        for bucket in self.buckets:
+            n = len(bucket)
+            total += n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return total
+
+    def state_dict(self):
+        return {"seed": self.seed, "epoch": self.epoch}
+
+
+def bucket_length(T: int, fs: int, pad_quantum_ms: int = 1000) -> int:
+    """Round T up to a static bucket boundary (compile-count control)."""
+    if pad_quantum_ms <= 0:
+        return T
+    q = max(1, fs * pad_quantum_ms // 1000)
+    return -(-T // q) * q
+
+
+def collate_fn(batch, pad_quantum_ms: int = 1000):
+    """Right-zero-pad to the batch bucket length; single fs per batch.
+
+    Returns (clean (B,1,T), noisy (B,1,T), fs int, lengths (B,)) as numpy,
+    matching the reference tuple (``dataset.py:404-441``) with the static
+    bucket padding described in the module docstring.
+    """
+    srs = [item[2] for item in batch]
+    assert all(sr == srs[0] for sr in srs), "mixed sampling rates in one batch"
+    sr = int(srs[0])
+    max_length = max(item[0].shape[1] for item in batch)
+    T = bucket_length(max_length, sr, pad_quantum_ms)
+
+    def pad(x):
+        x = np.asarray(x, np.float32)
+        return np.pad(x, ((0, 0), (0, T - x.shape[1])))
+
+    clean = np.stack([pad(item[0]) for item in batch])
+    noisy = np.stack([pad(item[1]) for item in batch])
+    lengths = np.asarray([item[3] for item in batch], np.int32)
+    return clean, noisy, sr, lengths
+
+
+class PrefetchLoader:
+    """Thread-pool dataset loader with background batch assembly."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_sampler: GroupedBatchSampler,
+        num_workers: int = 4,
+        pad_quantum_ms: int = 1000,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.num_workers = max(1, num_workers)
+        self.pad_quantum_ms = pad_quantum_ms
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        batches = list(iter(self.batch_sampler))
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            from collections import deque
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                pending: deque = deque()
+                it = iter(batches)
+                exhausted = False
+                while not stop.is_set():
+                    while not exhausted and len(pending) < max(2, self.prefetch):
+                        try:
+                            idxs = next(it)
+                        except StopIteration:
+                            exhausted = True
+                            break
+                        pending.append(
+                            [pool.submit(self.dataset.__getitem__, i) for i in idxs]
+                        )
+                    if not pending:
+                        break
+                    items = [f.result() for f in pending.popleft()]
+                    if stop.is_set():
+                        return
+                    q.put(collate_fn(items, self.pad_quantum_ms))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+class AudioDataModule:
+    """Builds train/val datasets + loaders from a Config (reference
+    ``dataset.py:444-524``; dynamic-mixing branch wired in data/dynamic.py)."""
+
+    def __init__(self, config):
+        self.config = config
+        self.train_dir = config.train_set_path
+        self.valid_dir = config.valid_set_path
+        self.num_worker = config.num_worker
+        self.batch_size = config.batch_size
+        self.pad_quantum_ms = getattr(config, "length_bucket_ms", 1000)
+
+        if config.train_set_dynamic_mixing:
+            from urgent2026_challenge_track1_tpu.data.dynamic import DynamicMixingDataset
+
+            self.train_dataset = DynamicMixingDataset(
+                speech_source_scp=f"{self.train_dir}/speech_sources.scp",
+                noise_source_scp=f"{self.train_dir}/noise_scoures.scp",
+                speech_length_file=f"{self.train_dir}/source_length.scp",
+                rir_scp=f"{self.train_dir}/rirs.scp",
+                windnoise_scp=f"{self.train_dir}/wind_noise_scoures.scp",
+                retry_when_fails=False,
+                max_duration=config.max_duration,
+                use_high_pass=config.use_high_pass,
+            )
+        else:
+            self.train_dataset = PreSimulatedDataset(
+                clean_speech=f"{self.train_dir}/spk1.scp",
+                noisy_speech=f"{self.train_dir}/wav.scp",
+                utt2fs=f"{self.train_dir}/utt2fs",
+                speech_length=f"{self.train_dir}/speech_length.scp",
+                max_duration=config.max_duration,
+            )
+        self.val_dataset = PreSimulatedDataset(
+            clean_speech=f"{self.valid_dir}/spk1.scp",
+            noisy_speech=f"{self.valid_dir}/wav.scp",
+            utt2fs=f"{self.valid_dir}/utt2fs",
+            speech_length=f"{self.valid_dir}/speech_length.scp",
+        )
+
+    def train_dataloader(self, rank: int = 0, world_size: int = 1, epoch: int = 0):
+        sampler = GroupedBatchSampler(
+            self.train_dataset,
+            batch_size=self.batch_size,
+            rank=rank,
+            world_size=world_size,
+            drop_last=True,
+        )
+        sampler.set_epoch(epoch)
+        self.train_batch_sampler = sampler
+        return PrefetchLoader(
+            self.train_dataset, sampler, self.num_worker, self.pad_quantum_ms
+        )
+
+    def val_dataloader(self):
+        # every rank evaluates the full validation set (reference :510-516)
+        sampler = GroupedBatchSampler(
+            self.val_dataset, batch_size=self.batch_size, rank=0, world_size=1,
+            drop_last=True,
+        )
+        return PrefetchLoader(
+            self.val_dataset, sampler, self.num_worker, self.pad_quantum_ms
+        )

@@ -1,0 +1,431 @@
+"""Training system: jitted SPMD train/val steps, EMA, NaN guards, checkpoints.
+
+Behavioral spec: the reference's Lightning modules —
+``SEModel`` (``/root/reference/baseline_code/d_model.py``): MR-L1 loss +
+monitored SI-SNR (incl. per-fs key), weighted grad-norm telemetry, NaN-loss
+skip and NaN-grad zeroing, AdamW(eps, wd) + per-epoch StepLR(gamma), grad
+clip 0.5; ``FlowSEModel`` (``flow_model.py``): CFM loss, EMA(0.999) updated
+after each optimizer step, EMA weights swapped in for eval; trainer assembly
+(``train_se.py``): top-k val_loss checkpoints every ``val_check_interval``
+steps, newest-checkpoint auto-resume.
+
+TPU-native design:
+  * the whole step (forward, loss, backward, clip, NaN guard, update, EMA,
+    metrics) is ONE jitted program per (model_kind, fs, T, B) signature;
+    the NaN-grad guard is a `jnp.where` on gradient finiteness instead of a
+    host-side check, so it costs nothing;
+  * data parallelism: batches are placed with a `dp` NamedSharding, params
+    replicated — XLA emits the gradient all-reduce (no DDP machinery);
+  * LR schedule: optax.inject_hyperparams lets the per-epoch StepLR value be
+    set without recompilation;
+  * checkpoints: orbax CheckpointManager, top-k on val_loss + auto-resume,
+    storing params, opt state, EMA, step/epoch and config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from urgent2026_challenge_track1_tpu.config import Config
+from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
+from urgent2026_challenge_track1_tpu.models import bsrnn as bsrnn_mod
+from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as flow_mod
+from urgent2026_challenge_track1_tpu.parallel import make_mesh, replicated, shard_batch
+from urgent2026_challenge_track1_tpu.train import losses
+
+__all__ = ["TrainState", "Trainer", "make_optimizer", "build_model"]
+
+
+# ---------------------------------------------------------------------------
+# Model assembly from Config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelBundle:
+    kind: str  # "discriminative" | "flowse"
+    model_cfg: Any
+    stft_cfg: STFTConfig
+
+
+def build_model(cfg: Config) -> ModelBundle:
+    if cfg.model_type == "flowse":
+        fcfg = flow_mod.FlowSEConfig(
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            spec_abs_exponent=cfg.spec_abs_exponent,
+            spec_factor=cfg.spec_factor,
+            bsrnn_hidden=cfg.bsrnn_hidden,
+            num_layer=cfg.num_layer,
+            sigma_min=cfg.sigma_min,
+            sigma_max=cfg.sigma_max,
+            t_eps=cfg.t_eps,
+            T_rev=cfg.T_rev,
+            loss_type=cfg.loss_type,
+        )
+        return ModelBundle("flowse", fcfg, fcfg.stft_cfg)
+    model_configs = cfg.model_configs or {}
+    mcfg = bsrnn_mod.BSRNNConfig(
+        input_dim=481,
+        num_channel=model_configs.get("num_channel", 192),
+        num_layer=model_configs.get("num_layer", 6),
+        causal=False,
+    )
+    return ModelBundle("discriminative", mcfg, STFTConfig(n_fft=960, hop_length=480))
+
+
+def init_params(key, bundle: ModelBundle):
+    if bundle.kind == "flowse":
+        return flow_mod.init_flowse(key, bundle.model_cfg)
+    return bsrnn_mod.init_bsrnn(key, bundle.model_cfg)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer (AdamW + per-epoch StepLR via injected hyperparams)
+# ---------------------------------------------------------------------------
+
+
+def make_optimizer(cfg: Config):
+    opt = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clip),
+            optax.adamw(
+                learning_rate,
+                eps=cfg.adam_epsilon,
+                weight_decay=cfg.weight_decay,
+            ),
+        )
+    )(learning_rate=cfg.learning_rate)
+    return opt
+
+
+def lr_for_epoch(cfg: Config, epoch: int) -> float:
+    """StepLR: lr * gamma^(epoch // step_size)  (d_model.py:108-113)."""
+    return cfg.learning_rate * cfg.lr_gamma ** (epoch // cfg.lr_step_size)
+
+
+# ---------------------------------------------------------------------------
+# Train state
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any  # flow only (None otherwise)
+    step: int
+    epoch: int
+
+
+def _weighted_grad_norm(grads):
+    """Reference Grad_norm: sum(||g_p|| * numel(p)) / sum(numel) (d_model.py:39-45)."""
+    leaves = jax.tree.leaves(grads)
+    total = sum(jnp.linalg.norm(g.reshape(-1)) * g.size for g in leaves)
+    n = sum(g.size for g in leaves)
+    return total / (n + 1e-5)
+
+
+def _zero_nonfinite(grads):
+    """NaN-grad guard: if ANY grad is non-finite, zero ALL grads (skip step)."""
+    flat = jax.tree.leaves(grads)
+    bad = jnp.any(jnp.stack([jnp.any(~jnp.isfinite(g)) for g in flat]))
+    grads = jax.tree.map(lambda g: jnp.where(bad, jnp.zeros_like(g), g), grads)
+    return grads, bad
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps (cached per (kind, fs, shape))
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int):
+    """Returns jitted (params, opt_state, ema, key, clean, noisy) -> updated + metrics."""
+    ema_decay = cfg.ema_decay
+
+    def loss_and_metrics(params, key, clean, noisy):
+        if bundle.kind == "flowse":
+            loss = flow_mod.flowse_loss(params, bundle.model_cfg, key, clean, noisy, fs)
+            return loss, {}
+        wav, _ = bsrnn_mod.bsrnn_se_apply(
+            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs
+        )
+        loss = losses.multi_res_l1_spec_loss(clean, wav).mean()
+        # NaN-loss skip (d_model.py:75-77): zero the loss contribution
+        loss = jnp.where(jnp.isfinite(loss), loss, wav.mean() * 0.0)
+        sisnr = jax.lax.stop_gradient(losses.si_snr(clean, wav).mean())
+        return loss, {"sisnr": sisnr}
+
+    @jax.jit
+    def step(params, opt_state, ema_params, key, clean, noisy):
+        (loss, extra), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
+            params, key, clean, noisy
+        )
+        gnorm = _weighted_grad_norm(grads)
+        grads, bad = _zero_nonfinite(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_params is not None:
+            ema_params = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema_params, params
+            )
+        metrics = {"loss": loss, "grad_norm": gnorm, "nan_grad": bad, **extra}
+        return params, opt_state, ema_params, metrics
+
+    return step
+
+
+def make_val_step(bundle: ModelBundle, cfg: Config, fs: int):
+    @jax.jit
+    def step(params, key, clean, noisy):
+        if bundle.kind == "flowse":
+            loss = flow_mod.flowse_loss(params, bundle.model_cfg, key, clean, noisy, fs)
+            return {"loss": loss}
+        wav, _ = bsrnn_mod.bsrnn_se_apply(
+            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs
+        )
+        loss = losses.multi_res_l1_spec_loss(clean, wav).mean()
+        sisnr = losses.si_snr(clean, wav).mean()
+        return {"loss": loss, "sisnr": sisnr}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+class CheckpointIO:
+    """Top-k on val_loss + auto-resume (reference train_se.py:19-32,67-72)."""
+
+    def __init__(self, directory: str, save_top_k: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=save_top_k,
+            best_fn=lambda m: m["val_loss"],
+            best_mode="min",
+            create=True,
+        )
+        self.manager = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: TrainState, val_loss: float, config_dict: dict):
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "epoch": state.epoch,
+        }
+        if state.ema_params is not None:
+            payload["ema"] = state.ema_params
+        self.manager.save(
+            step,
+            args=self._ocp.args.Composite(
+                state=self._ocp.args.StandardSave(payload),
+                meta=self._ocp.args.JsonSave(
+                    {"val_loss": float(val_loss), "config": config_dict}
+                ),
+            ),
+            metrics={"val_loss": float(val_loss)},
+        )
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, step: int, template_state: TrainState) -> tuple[TrainState, dict]:
+        payload = {
+            "params": template_state.params,
+            "opt_state": template_state.opt_state,
+            "step": 0,
+            "epoch": 0,
+        }
+        if template_state.ema_params is not None:
+            payload["ema"] = template_state.ema_params
+        restored = self.manager.restore(
+            step,
+            args=self._ocp.args.Composite(
+                state=self._ocp.args.StandardRestore(payload),
+                meta=self._ocp.args.JsonRestore(),
+            ),
+        )
+        st = restored["state"]
+        state = TrainState(
+            params=st["params"],
+            opt_state=st["opt_state"],
+            ema_params=st.get("ema"),
+            step=int(st["step"]),
+            epoch=int(st["epoch"]),
+        )
+        return state, restored["meta"]
+
+
+# ---------------------------------------------------------------------------
+# Metrics logging (JSONL always; TensorBoard when torch is importable)
+# ---------------------------------------------------------------------------
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a", encoding="utf-8")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(k, float(v), step)
+
+    def close(self):
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+
+class Trainer:
+    def __init__(self, cfg: Config, datamodule):
+        self.cfg = cfg
+        self.dm = datamodule
+        self.bundle = build_model(cfg)
+        self.mesh = make_mesh(cfg.mesh_shape)
+        self.optimizer = make_optimizer(cfg)
+        self.exp_dir = os.path.join(
+            "exp", cfg.train_tag, cfg.train_name, f"version_{cfg.train_version}"
+        )
+        self.logger = MetricsLogger(self.exp_dir)
+        self.ckpt = CheckpointIO(
+            os.path.join(self.exp_dir, "checkpoints"), cfg.save_top_k
+        )
+        self._train_steps = {}
+        self._val_steps = {}
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, key=None) -> TrainState:
+        key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
+        params = init_params(key, self.bundle)
+        if self.cfg.init_from != "none":
+            from urgent2026_challenge_track1_tpu.utils.convert import load_init_from
+
+            params = load_init_from(self.cfg.init_from, params)
+        opt_state = self.optimizer.init(params)
+        ema = jax.tree.map(jnp.copy, params) if self.bundle.kind == "flowse" else None
+        state = TrainState(params, opt_state, ema, step=0, epoch=0)
+        return self._place(state)
+
+    def _place(self, state: TrainState) -> TrainState:
+        rep = replicated(self.mesh)
+        put = lambda t: jax.device_put(t, rep)
+        return TrainState(
+            put(state.params),
+            put(state.opt_state),
+            put(state.ema_params) if state.ema_params is not None else None,
+            state.step,
+            state.epoch,
+        )
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        if not self.cfg.resume:
+            return state
+        latest = self.ckpt.latest_step()
+        if latest is None:
+            return state
+        restored, _ = self.ckpt.restore(latest, state)
+        print(f"Resume from checkpoint step {latest}")
+        return self._place(restored)
+
+    # -- steps -------------------------------------------------------------
+
+    def _get_train_step(self, fs: int):
+        if fs not in self._train_steps:
+            self._train_steps[fs] = make_train_step(
+                self.bundle, self.optimizer, self.cfg, fs
+            )
+        return self._train_steps[fs]
+
+    def _get_val_step(self, fs: int):
+        if fs not in self._val_steps:
+            self._val_steps[fs] = make_val_step(self.bundle, self.cfg, fs)
+        return self._val_steps[fs]
+
+    def _set_lr(self, state: TrainState, epoch: int):
+        lr = lr_for_epoch(self.cfg, epoch)
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return lr
+
+    # -- loops -------------------------------------------------------------
+
+    def validate(self, state: TrainState) -> dict:
+        params = state.ema_params if state.ema_params is not None else state.params
+        totals, count = {}, 0
+        key = jax.random.PRNGKey(0)
+        for clean, noisy, fs, lengths in self.dm.val_dataloader():
+            step_fn = self._get_val_step(fs)
+            batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
+            key, sub = jax.random.split(key)
+            m = step_fn(params, sub, *batch)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        if count == 0:
+            return {"val_loss": float("inf")}
+        return {f"val_{k}": v / count for k, v in totals.items()}
+
+    def fit(self, state: Optional[TrainState] = None) -> TrainState:
+        cfg = self.cfg
+        state = state if state is not None else self.maybe_resume(self.init_state())
+        rank, world = jax.process_index(), jax.process_count()
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        for epoch in range(state.epoch, cfg.num_train_epochs):
+            lr = self._set_lr(state, epoch)
+            self.logger.log(state.step, {"lr": lr, "epoch": epoch})
+            loader = self.dm.train_dataloader(rank=rank, world_size=world, epoch=epoch)
+            for clean, noisy, fs, lengths in loader:
+                t0 = time.time()
+                step_fn = self._get_train_step(fs)
+                batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
+                key, sub = jax.random.split(key)
+                state.params, state.opt_state, state.ema_params, metrics = step_fn(
+                    state.params, state.opt_state, state.ema_params, sub, *batch
+                )
+                state.step += 1
+                if state.step % cfg.log_every_steps == 0:
+                    logd = {f"train_{k}": float(v) for k, v in metrics.items()}
+                    logd["step_time"] = time.time() - t0
+                    logd[f"train_sisnr_{fs}"] = logd.get("train_sisnr", 0.0)
+                    self.logger.log(state.step, logd)
+                if state.step % cfg.val_check_interval == 0:
+                    vm = self.validate(state)
+                    self.logger.log(state.step, vm)
+                    self.ckpt.save(state.step, state, vm["val_loss"], vars(cfg))
+            state.epoch = epoch + 1
+        return state

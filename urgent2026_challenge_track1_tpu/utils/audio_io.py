@@ -1,0 +1,168 @@
+"""Audio I/O: soundfile-compatible read/write with a native WAV fallback.
+
+The reference uses libsndfile via the ``soundfile`` package for all audio IO
+(``simulate_data_from_param.py:347-361``, ``inference.py:50-62``).  This
+environment has no libsndfile, so a self-contained numpy RIFF/WAVE codec
+(PCM 16/24/32-bit, IEEE float 32/64, WAVE_FORMAT_EXTENSIBLE) is provided;
+``soundfile`` is used when importable so behavior upgrades transparently.
+
+API mirrors soundfile: ``read(path) -> (data, fs)`` with data float64 in
+[-1, 1), shape (T,) mono or (T, C); ``write(path, data, fs)`` picks PCM_16
+for integer-ish use cases (soundfile's wav default).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+try:  # pragma: no cover - depends on environment
+    import soundfile as _sf
+except ImportError:
+    _sf = None
+
+__all__ = ["read", "write", "info_frames", "read_audio", "save_audio"]
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _parse_chunks(buf: bytes):
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a RIFF/WAVE file"
+    pos = 12
+    chunks = {}
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        chunks[cid] = (pos + 8, size)
+        pos += 8 + size + (size & 1)
+    return chunks
+
+
+def _decode(buf: bytes):
+    chunks = _parse_chunks(buf)
+    off, size = chunks[b"fmt "]
+    fmt, n_ch, fs, _, block_align, bits = struct.unpack_from("<HHIIHH", buf, off)
+    if fmt == _WAVE_FORMAT_EXTENSIBLE:
+        fmt = struct.unpack_from("<H", buf, off + 24)[0]
+    off, size = chunks[b"data"]
+    raw = buf[off : off + size]
+    if fmt == _WAVE_FORMAT_PCM:
+        if bits == 16:
+            data = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            data = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+        elif bits == 24:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            i = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            i = np.where(i >= 1 << 23, i - (1 << 24), i)
+            data = i.astype(np.float64) / 8388608.0
+        elif bits == 8:  # unsigned
+            data = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif fmt == _WAVE_FORMAT_IEEE_FLOAT:
+        data = np.frombuffer(raw, "<f4" if bits == 32 else "<f8").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAVE format tag {fmt:#x}")
+    if n_ch > 1:
+        data = data.reshape(-1, n_ch)
+    return data, fs
+
+
+def read(path: str, dtype: str = "float64"):
+    """(data, fs); data (T,) or (T, C) like soundfile.read."""
+    if _sf is not None:
+        return _sf.read(path, dtype=dtype)
+    with open(path, "rb") as f:
+        data, fs = _decode(f.read())
+    return data.astype(dtype), fs
+
+
+def info_frames(path: str) -> int:
+    """Number of frames (reference uses soundfile.SoundFile.frames)."""
+    if _sf is not None:
+        with _sf.SoundFile(path) as af:
+            return af.frames
+    with open(path, "rb") as f:
+        buf = f.read(4096)
+        chunks = _parse_chunks_headeronly(buf, f)
+    return chunks
+
+
+def _parse_chunks_headeronly(buf: bytes, f) -> int:
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a RIFF/WAVE file"
+    pos = 12
+    block_align = None
+    while True:
+        while pos + 8 > len(buf):
+            more = f.read(65536)
+            if not more:
+                raise ValueError("no data chunk found")
+            buf += more
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"fmt ":
+            while pos + 8 + 16 > len(buf):
+                buf += f.read(65536)
+            block_align = struct.unpack_from("<H", buf, pos + 8 + 12)[0]
+        elif cid == b"data":
+            assert block_align, "fmt chunk must precede data"
+            return size // block_align
+        pos += 8 + size + (size & 1)
+
+
+def write(path: str, data: np.ndarray, samplerate: int, subtype: Optional[str] = None):
+    """soundfile.write-compatible; wav default subtype PCM_16."""
+    if _sf is not None:
+        return _sf.write(path, data, samplerate, subtype=subtype)
+    data = np.asarray(data)
+    if data.ndim == 2 and data.shape[0] < data.shape[1]:
+        # accept (C, T) defensively; files are written interleaved (T, C)
+        data = data.T
+    n_ch = 1 if data.ndim == 1 else data.shape[1]
+    subtype = subtype or "PCM_16"
+    if subtype == "PCM_16":
+        pcm = np.clip(np.round(data * 32768.0), -32768, 32767).astype("<i2")
+        raw = pcm.tobytes()
+        fmt, bits = _WAVE_FORMAT_PCM, 16
+    elif subtype == "FLOAT":
+        raw = data.astype("<f4").tobytes()
+        fmt, bits = _WAVE_FORMAT_IEEE_FLOAT, 32
+    else:
+        raise ValueError(f"unsupported subtype {subtype}")
+    block_align = n_ch * bits // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt, n_ch, samplerate, samplerate * block_align, block_align, bits
+    )
+    hdr += b"data" + struct.pack("<I", len(raw))
+    with open(path, "wb") as f:
+        f.write(hdr + raw)
+
+
+# -- reference-shaped helpers (simulate_data_from_param.py:347-372) ---------
+
+
+def read_audio(path: str):
+    """(channels, T) float64 + fs."""
+    data, fs = read(path)
+    if data.ndim == 1:
+        return data[None, :], fs
+    return data.T, fs
+
+
+def save_audio(audio: np.ndarray, path: str, fs: int):
+    audio = np.asarray(audio)
+    if audio.ndim == 2:
+        audio = audio.T  # (C, T) -> (T, C)
+        if audio.shape[1] == 1:
+            audio = audio[:, 0]
+    write(path, audio, fs)

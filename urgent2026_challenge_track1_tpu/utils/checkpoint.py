@@ -1,0 +1,90 @@
+"""Checkpoint loading for inference: orbax dirs and torch Lightning ckpts.
+
+Mirrors the reference's ``inference.py:30-33`` behavior (try SEModel, fall
+back to FlowSEModel) by detecting the model kind from the checkpoint itself.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from urgent2026_challenge_track1_tpu.config import Config
+from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
+from urgent2026_challenge_track1_tpu.models import bsrnn as bsrnn_mod
+from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as flow_mod
+
+__all__ = ["load_model_for_inference"]
+
+
+def _from_torch(path: str):
+    from urgent2026_challenge_track1_tpu.utils import convert
+
+    sd = convert.load_torch_state_dict(path)
+    if any(k.startswith("dnn.") for k in sd):
+        n = sd["dnn.condition_fc.bias"].shape[0]
+        layers = len({k.split(".")[2] for k in sd if k.startswith("dnn.rnn_time.")})
+        n_fft = (sd["dnn.band_split_x.norm.0.weight"].shape[0], )  # unused probe
+        fcfg = flow_mod.FlowSEConfig(bsrnn_hidden=n, num_layer=layers)
+        template = flow_mod.init_flowse(jax.random.PRNGKey(0), fcfg)
+        params = convert.convert_flowse_state_dict(sd, template, fcfg.dnn_cfg)
+        return "flowse", params, fcfg, fcfg.stft_cfg
+    first = next(k for k in sd if "band_split.fc.0.weight" in k)
+    prefix = first.split("band_split")[0]
+    n = sd[f"{prefix}band_split.fc.0.bias"].shape[0]
+    layers = len(
+        {k.split("rnn_time.")[1].split(".")[0] for k in sd if f"{prefix}rnn_time." in k}
+    )
+    mcfg = bsrnn_mod.BSRNNConfig(input_dim=481, num_channel=n, num_layer=layers, causal=False)
+    template = bsrnn_mod.init_bsrnn(jax.random.PRNGKey(0), mcfg)
+    params = convert.convert_discriminative_state_dict(sd, template, mcfg, prefix)
+    return "discriminative", params, mcfg, STFTConfig(n_fft=960, hop_length=480)
+
+
+def _from_orbax(path: str):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    # accept either a manager root (containing step dirs) or a single step dir
+    if os.path.isdir(os.path.join(path, "state")):
+        step_dir = path
+        meta_path = os.path.join(path, "meta")
+    else:
+        mgr = ocp.CheckpointManager(path)
+        step = mgr.latest_step()
+        assert step is not None, f"no checkpoints under {path}"
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(), meta=ocp.args.JsonRestore()
+            ),
+        )
+        return _bundle_from_payload(restored["state"], restored["meta"])
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.join(step_dir, "state"))
+    import json
+
+    with open(os.path.join(meta_path, "metadata"), "r") as f:  # orbax json layout
+        meta = json.load(f)
+    return _bundle_from_payload(payload, meta)
+
+
+def _bundle_from_payload(payload, meta):
+    cfg = Config(**meta["config"])
+    from urgent2026_challenge_track1_tpu.train.trainer import build_model
+
+    bundle = build_model(cfg)
+    params = payload.get("ema", None) if bundle.kind == "flowse" else None
+    if params is None:
+        params = payload["params"]
+    return bundle.kind, params, bundle.model_cfg, bundle.stft_cfg
+
+
+def load_model_for_inference(path: str):
+    """Returns (kind, params, model_cfg, stft_cfg)."""
+    if path.endswith((".ckpt", ".pt", ".pth")):
+        return _from_torch(path)
+    return _from_orbax(path)
