@@ -1,0 +1,99 @@
+"""Backend adapters for model-based metrics.
+
+These metrics score with pretrained models (ONNX DNSMOS, NISQA, UTMOS,
+SCOREQ, mHuBERT, wav2vec2-phoneme, RawNet3, emotion2vec, OWSM) that the
+reference pulls from espnet / torch.hub / HF hubs.  This build is
+environment-agnostic: each loader tries its stack (local HF cache first,
+then hub download when the machine has egress) and raises a single clear
+``BackendUnavailable`` otherwise, which the CLIs surface with download
+instructions.  The scoring math around the models (cosine similarities,
+Levenshtein accounting, accuracy) is implemented natively here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BackendUnavailable(RuntimeError):
+    def __init__(self, name: str, hint: str):
+        super().__init__(
+            f"backend for {name} is unavailable in this environment. {hint}"
+        )
+
+
+def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float64).reshape(-1)
+    b = np.asarray(b, np.float64).reshape(-1)
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def load_dnsmos(primary_model: str, p808_model: str, device: str = "cpu"):
+    """DNSMOS ONNX runner (reference: espnet DNSMOS_local over onnxruntime)."""
+    try:
+        import onnxruntime  # noqa: F401
+    except ImportError as e:
+        raise BackendUnavailable(
+            "DNSMOS",
+            "Install onnxruntime and download sig_bak_ovr.onnx / model_v8.onnx "
+            "from https://github.com/microsoft/DNS-Challenge (DNSMOS dir).",
+        ) from e
+    from pathlib import Path
+
+    if not (Path(primary_model).exists() and Path(p808_model).exists()):
+        raise BackendUnavailable(
+            "DNSMOS", f"model files not found: {primary_model}, {p808_model}"
+        )
+    import onnxruntime as ort
+
+    providers = ["CPUExecutionProvider"]
+    return (
+        ort.InferenceSession(primary_model, providers=providers),
+        ort.InferenceSession(p808_model, providers=providers),
+    )
+
+
+def load_hf_model(model_id: str, cls_name: str, metric: str):
+    """transformers AutoModel/AutoProcessor pair (needs local cache or egress)."""
+    try:
+        import transformers
+    except ImportError as e:
+        raise BackendUnavailable(metric, "transformers is not installed") from e
+    try:
+        cls = getattr(transformers, cls_name)
+        model = cls.from_pretrained(model_id)
+        proc = transformers.AutoProcessor.from_pretrained(model_id)
+        return model, proc
+    except Exception as e:
+        raise BackendUnavailable(
+            metric,
+            f"could not load '{model_id}' — no local HF cache and/or no "
+            f"network egress ({type(e).__name__}).",
+        ) from e
+
+
+def load_torch_hub(repo: str, entry: str, metric: str, **kwargs):
+    try:
+        import torch
+    except ImportError as e:
+        raise BackendUnavailable(metric, "torch is not installed") from e
+    try:
+        return torch.hub.load(repo, entry, trust_repo=True, **kwargs)
+    except Exception as e:
+        raise BackendUnavailable(
+            metric,
+            f"torch.hub.load('{repo}', '{entry}') failed — needs network "
+            f"egress or a pre-populated hub cache ({type(e).__name__}).",
+        ) from e
+
+
+def load_espnet_model(tag: str, metric: str, **kwargs):
+    try:
+        import espnet2  # noqa: F401
+    except ImportError as e:
+        raise BackendUnavailable(
+            metric, f"espnet is not installed (model tag: {tag})"
+        ) from e
+    from espnet2.bin.s2t_inference import Speech2Text
+
+    return Speech2Text.from_pretrained(model_tag=tag, **kwargs)

@@ -1,0 +1,51 @@
+#!/bin/env python
+"""Language-ID accuracy (reference calculate_lid_accuracy.py) using OWSM-CTC
+v4 1B greedy decoding with the <nolang> prompt; resamples to 16 kHz.
+"""
+
+import numpy as np
+
+from _backends import BackendUnavailable
+from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from urgent2026_challenge_track1_tpu.simulation.dsp import resample
+
+METRICS = ("LIDAccuracy",)
+TARGET_FS = 16000
+MODEL_TAG = "espnet/owsm_ctc_v4_1B"
+
+
+def main(args):
+    try:
+        from espnet2.bin.s2t_ctc_inference import Speech2TextGreedySearch
+    except ImportError as e:
+        raise BackendUnavailable(
+            "LIDAccuracy", f"espnet is not installed (model: {MODEL_TAG})"
+        ) from e
+    model = Speech2TextGreedySearch.from_pretrained(
+        model_tag=MODEL_TAG, device=args.device, lang_sym="<nolang>", task_sym="<asr>"
+    )
+
+    labels = {}
+    with open(args.meta_tsv, "r") as f:
+        for line in f:
+            uid, lang = line.strip().split(maxsplit=1)
+            labels[uid] = lang
+
+    pairs = read_pairs(args)
+    pairs, suffix = shard(pairs, args)
+    ret = []
+    for uid, path in pairs:
+        audio, fs = audio_io.read(path)
+        if fs != TARGET_FS:
+            audio = resample(audio[None], fs, TARGET_FS, "soxr_hq")[0]
+        result = model(audio.astype(np.float32))
+        pred_lang = result[0][0].split()[0].strip("<>") if result else "unk"
+        ret.append((uid, {"LIDAccuracy": float(pred_lang == labels[uid])}))
+    write_results(args.output_dir, METRICS, ret, suffix)
+
+
+if __name__ == "__main__":
+    try:
+        main(base_parser(need_meta=True).parse_args())
+    except BackendUnavailable as e:
+        raise SystemExit(f"ERROR: {e}")

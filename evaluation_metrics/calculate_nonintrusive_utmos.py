@@ -1,0 +1,39 @@
+#!/bin/env python
+"""Non-intrusive UTMOS (reference calculate_nonintrusive_utmos.py).
+
+Uses torch.hub tarepan/SpeechMOS:v1.2.0 utmos22_strong; resamples to 16 kHz.
+"""
+
+import numpy as np
+
+from _backends import BackendUnavailable, load_torch_hub
+from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from urgent2026_challenge_track1_tpu.simulation.dsp import resample
+
+METRICS = ("UTMOS",)
+
+
+def main(args):
+    import torch
+
+    pairs = read_pairs(args)
+    pairs, suffix = shard(pairs, args)
+    predictor = load_torch_hub("tarepan/SpeechMOS:v1.2.0", "utmos22_strong", "UTMOS")
+    predictor = predictor.to(args.device).eval()
+    ret = []
+    for uid, path in pairs:
+        audio, fs = audio_io.read(path)
+        with torch.no_grad():
+            score = predictor(
+                torch.from_numpy(np.asarray(audio, np.float32))[None].to(args.device),
+                fs,
+            )
+        ret.append((uid, {"UTMOS": float(score.cpu().item())}))
+    write_results(args.output_dir, METRICS, ret, suffix)
+
+
+if __name__ == "__main__":
+    try:
+        main(base_parser().parse_args())
+    except BackendUnavailable as e:
+        raise SystemExit(f"ERROR: {e}")

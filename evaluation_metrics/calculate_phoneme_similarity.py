@@ -1,0 +1,64 @@
+#!/bin/env python
+"""Levenshtein phoneme similarity (reference calculate_phoneme_similarity.py).
+
+Phoneme sequences from wav2vec2-lv-60-espeak-cv-ft CTC (needs espeak-ng for
+the tokenizer); similarity = 1 - normalized Levenshtein distance.
+"""
+
+import numpy as np
+
+from _backends import BackendUnavailable
+from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from urgent2026_challenge_track1_tpu.metrics.text import levenshtein_distance
+from urgent2026_challenge_track1_tpu.simulation.dsp import resample
+
+METRICS = ("LPS",)
+TARGET_FS = 16000
+MODEL_ID = "facebook/wav2vec2-lv-60-espeak-cv-ft"
+
+
+def _phonemes(model, processor, audio, device):
+    import torch
+
+    inputs = processor(audio, sampling_rate=TARGET_FS, return_tensors="pt")
+    with torch.no_grad():
+        logits = model(inputs.input_values.to(device)).logits
+    ids = torch.argmax(logits, dim=-1)
+    return processor.batch_decode(ids)[0].split()
+
+
+def main(args):
+    try:
+        import transformers
+
+        processor = transformers.AutoProcessor.from_pretrained(MODEL_ID)
+        model = transformers.Wav2Vec2ForCTC.from_pretrained(MODEL_ID)
+    except Exception as e:
+        raise BackendUnavailable(
+            "LPS",
+            f"could not load {MODEL_ID} (needs HF cache/egress + espeak-ng)",
+        ) from e
+    model = model.to(args.device).eval()
+    pairs = read_pairs(args, need_ref=True)
+    pairs, suffix = shard(pairs, args)
+    ret = []
+    for uid, ref_path, inf_path in pairs:
+        ref, fs1 = audio_io.read(ref_path)
+        inf, fs2 = audio_io.read(inf_path)
+        if fs1 != TARGET_FS:
+            ref = resample(ref[None], fs1, TARGET_FS, "soxr_hq")[0]
+        if fs2 != TARGET_FS:
+            inf = resample(inf[None], fs2, TARGET_FS, "soxr_hq")[0]
+        ph_ref = _phonemes(model, processor, ref, args.device)
+        ph_inf = _phonemes(model, processor, inf, args.device)
+        dist = levenshtein_distance(ph_ref, ph_inf)
+        score = 1.0 - dist / max(len(ph_ref), 1)
+        ret.append((uid, {"LPS": score}))
+    write_results(args.output_dir, METRICS, ret, suffix)
+
+
+if __name__ == "__main__":
+    try:
+        main(base_parser(need_ref=True).parse_args())
+    except BackendUnavailable as e:
+        raise SystemExit(f"ERROR: {e}")

@@ -1,0 +1,131 @@
+"""Metrics: STOI/ESTOI/PESQ/SDR invariants, text accounting, CLI drive."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from urgent2026_challenge_track1_tpu.metrics.pesq import pesq_metric
+from urgent2026_challenge_track1_tpu.metrics.sdr import sdr_metric, si_sdr
+from urgent2026_challenge_track1_tpu.metrics.stoi import stoi
+from urgent2026_challenge_track1_tpu.metrics.text import (
+    levenshtein_distance,
+    opcodes,
+    whisper_basic_normalize,
+)
+from urgent2026_challenge_track1_tpu.utils import audio_io
+
+
+@pytest.fixture(scope="module")
+def speech_like():
+    rng = np.random.default_rng(0)
+    fs = 16000
+    T = fs * 3
+    w = rng.standard_normal(T)
+    b, a = scipy.signal.butter(2, [300 / (fs / 2), 3400 / (fs / 2)], "bandpass")
+    s = scipy.signal.lfilter(b, a, w)
+    am = np.clip(np.sin(2 * np.pi * 4 * np.arange(T) / fs), 0, None) + 0.05
+    x = s * am
+    return (x / np.abs(x).max()).astype(np.float64), fs
+
+
+def _noisy(x, snr, seed=1):
+    rng = np.random.default_rng(seed)
+    n = rng.standard_normal(len(x))
+    n *= np.linalg.norm(x) / np.linalg.norm(n) * 10 ** (-snr / 20)
+    return x + n
+
+
+def test_stoi_estoi_invariants(speech_like):
+    x, fs = speech_like
+    assert stoi(x, x, fs) > 0.999
+    assert stoi(x, x, fs, extended=True) > 0.99
+    e20 = stoi(x, _noisy(x, 20), fs, extended=True)
+    e0 = stoi(x, _noisy(x, 0), fs, extended=True)
+    assert e20 > 0.75 > e0 > 0.1
+
+
+def test_pesq_invariants(speech_like):
+    x, fs = speech_like
+    clean = pesq_metric(x, x, fs)
+    assert clean > 4.4
+    p10 = pesq_metric(x, _noisy(x, 10), fs)
+    p0 = pesq_metric(x, _noisy(x, 0), fs)
+    assert clean > p10 > p0
+    assert p0 < 3.0
+    # fs>16k path resamples internally
+    x48 = scipy.signal.resample_poly(x, 3, 1)
+    assert pesq_metric(x48, x48, 48000) > 4.4
+    with pytest.raises(ValueError):
+        pesq_metric(x, x, 11025)
+
+
+def test_sdr(speech_like):
+    x, fs = speech_like
+    assert sdr_metric(x, x) == 50.0  # clamped
+    # SDR is invariant to short FIR filtering of the estimate
+    h = np.array([0.9, 0.1, -0.05])
+    y = np.convolve(x, h)[: len(x)]
+    assert sdr_metric(x, y) > 40.0
+    assert abs(si_sdr(x, _noisy(x, 10)) - 10.0) < 0.5
+
+
+def test_opcodes_accounting():
+    ref = "the quick brown fox jumps".split()
+    hyp = "the quack brown dog fox".split()
+    ops = opcodes(ref, hyp)
+    counts = {"delete": 0, "insert": 0, "replace": 0, "equal": 0}
+    for op, rs, re_, hs, he in ops:
+        counts[op] += (he - hs) if op == "insert" else (re_ - rs)
+    assert counts["delete"] + counts["replace"] + counts["equal"] == len(ref)
+    assert counts["insert"] + counts["replace"] + counts["equal"] == len(hyp)
+    total_edits = counts["delete"] + counts["insert"] + counts["replace"]
+    assert total_edits == levenshtein_distance(ref, hyp)
+
+
+def test_whisper_basic_normalize():
+    assert whisper_basic_normalize("Hello, World!") == "hello world"
+    assert whisper_basic_normalize("[noise] A (b) test.") == "a test"
+
+
+def test_intrusive_cli_end_to_end(tmp_path, speech_like):
+    x, fs = speech_like
+    y = _noisy(x, 10)
+    ref_p, inf_p = tmp_path / "ref.wav", tmp_path / "inf.wav"
+    audio_io.write(str(ref_p), x.astype(np.float32), fs)
+    audio_io.write(str(inf_p), y.astype(np.float32), fs)
+    (tmp_path / "ref.scp").write_text(f"u1 {ref_p}\n")
+    (tmp_path / "inf.scp").write_text(f"u1 {inf_p}\n")
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/evaluation_metrics/calculate_intrusive_se_metrics.py",
+         "--ref_scp", str(tmp_path / "ref.scp"), "--inf_scp", str(tmp_path / "inf.scp"),
+         "--output_dir", str(tmp_path / "score"), "--nj", "1"],
+        capture_output=True, text=True, env=env, cwd="/root/repo/evaluation_metrics",
+    )
+    assert r.returncode == 0, r.stderr
+    results = (tmp_path / "score" / "RESULTS.txt").read_text()
+    assert "PESQ:" in results and "ESTOI:" in results
+    pesq_line = [l for l in results.splitlines() if l.startswith("PESQ")][0]
+    assert 1.0 < float(pesq_line.split(":")[1]) < 4.7
+
+
+def test_breakdown_cli(tmp_path):
+    (tmp_path / "meta.tsv").write_text(
+        "id\tnoisy_path\tspeech_uid\tspeech_sid\tclean_path\tnoise_uid\tsnr_dB\trir_uid\taugmentation\tfs\tlength\ttext\n"
+        "fileid_1\tn1\tsp1\tvctk_p1\tc1\tnz1\t5.0\tnone\tnone\t16000\t32000\thi\n"
+        "fileid_2\tn2\tsp2\tcommonvoice_p2\tc2\tnz2\t12.0\trir0\tclipping(min=0.1,max=0.9)\t48000\t96000\tyo\n"
+    )
+    (tmp_path / "res.scp").write_text("fileid_1 3.5\nfileid_2 2.5\n")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/evaluation_metrics/get_breakdown.py",
+         str(tmp_path / "res.scp"), "--meta_tsv", str(tmp_path / "meta.tsv")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "fs=16000Hz" in r.stdout and "with_rir" in r.stdout
+    assert "corpus=vctk" in r.stdout and "clipping" in r.stdout
