@@ -77,3 +77,33 @@ def test_flowse_enhance_shapes(tiny):
     out = FM.flowse_enhance(params, cfg, jax.random.PRNGKey(6), noisy, fs, N=3)
     assert out.shape == noisy.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sgmse_loss_and_enhance():
+    from urgent2026_challenge_track1_tpu.models import sgmse as SG
+
+    cfg = SG.SGMSEConfig(n_fft=960, hop_length=480, bsrnn_hidden=8, num_layer=1)
+    params = SG.init_sgmse(jax.random.PRNGKey(0), cfg)
+    fs = 8000
+    clean = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (1, 4000))
+    noisy = clean + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (1, 4000))
+    l = SG.sgmse_loss(params, cfg, jax.random.PRNGKey(3), clean, noisy, fs)
+    assert np.isfinite(float(l))
+    out = SG.sgmse_enhance(params, cfg, jax.random.PRNGKey(4), noisy, fs, N=3)
+    assert out.shape == noisy.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ouve_sde_properties():
+    from urgent2026_challenge_track1_tpu.models.sgmse import OUVESDE
+
+    sde = OUVESDE(theta=1.5, sigma_min=0.05, sigma_max=0.5)
+    t = jnp.asarray([0.0, 0.5, 1.0])
+    std = np.asarray(sde.std(t))
+    assert std[0] < 1e-6  # no noise at t=0
+    assert std[1] < std[2]  # variance exploding
+    x0 = jnp.ones((3, 2, 2), jnp.complex64)
+    y = jnp.zeros((3, 2, 2), jnp.complex64)
+    mean = np.asarray(sde.mean(x0, t, y))
+    assert abs(mean[0, 0, 0] - 1.0) < 1e-6  # mean starts at x0
+    assert abs(mean[2, 0, 0]) < abs(mean[1, 0, 0])  # decays towards y

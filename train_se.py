@@ -24,6 +24,18 @@ def main(argv=None):
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
 
+    # multi-host SPMD: initialize the jax distributed runtime when launched
+    # under a multi-process coordinator (the TPU-native analog of the
+    # reference's DDP spawn, SURVEY.md §2.8)
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        import jax
+
+        jax.distributed.initialize()
+
     from urgent2026_challenge_track1_tpu.data import AudioDataModule
     from urgent2026_challenge_track1_tpu.train.trainer import Trainer
 

@@ -75,6 +75,8 @@ class Config:
         self.compute_dtype = "float32"  # "float32" | "bfloat16" matmul inputs
         self.length_bucket_ms = 1000  # pad batches up to multiples of this
         self.log_every_steps = 50
+        self.profile_start_step = -1  # jax.profiler trace window (-1 = off)
+        self.profile_num_steps = 5
 
         for k, v in kwargs.items():
             setattr(self, k, v)

@@ -7,9 +7,9 @@ Behavioral spec: ``/root/reference/baseline_code/sampling/__init__.py:30-65``
 TPU-first: the reference's Python step loop becomes a `lax.scan` over a
 trace-time-constant (t, stepsize) grid, so the whole N-step sampler fuses
 into ONE compiled program (no host round-trips between steps); N is static.
-The scipy black-box RK45 sampler is intentionally not ported — the configs
-only exercise fixed-step solvers, and `solve_ivp` host-loops a full model
-call per evaluation, which is anti-TPU.
+The scipy black-box RK45 sampler (reference :67-117) is kept for API parity
+but host-loops a jitted model call per function evaluation — prefer the
+white-box solvers on TPU.
 """
 
 from __future__ import annotations
@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ODE_SOLVERS", "get_white_box_solver", "sample_flow"]
+__all__ = [
+    "ODE_SOLVERS",
+    "get_white_box_solver",
+    "get_black_box_solver",
+    "sample_flow",
+]
 
 
 def _euler(vf_fn, x, t, y, stepsize):
@@ -95,5 +100,49 @@ def get_white_box_solver(
             vf_fn, ode, key, Y, solver=solver_name, N=N, T_rev=T_rev, t_eps=t_eps
         )
         return x, N
+
+    return run
+
+
+def get_black_box_solver(
+    ode, vf_fn, y, rtol: float = 1e-5, atol: float = 1e-5,
+    T_rev: float = 1.0, t_eps: float = 0.03, method: str = "RK45", **kwargs
+):
+    """Adaptive scipy solve_ivp sampler (reference sampling/__init__.py:67-117).
+
+    Flattens the complex state to float64 for scipy; each ODE-function
+    evaluation is one (jitted) model call on device.  Returns a zero-arg
+    callable producing (sample, nfe).
+    """
+    from scipy import integrate
+
+    shape = y.shape
+    B = shape[0]
+
+    def to_flat(x):
+        x = np.asarray(x)
+        return np.concatenate([x.real.reshape(-1), x.imag.reshape(-1)])
+
+    def from_flat(v):
+        half = v.shape[0] // 2
+        return jnp.asarray(
+            (v[:half] + 1j * v[half:]).reshape(shape), jnp.complex64
+        )
+
+    def run(key=None):
+        key = jax.random.PRNGKey(0) if key is None else key
+        x0, _ = ode.prior_sampling(key, y)
+
+        def ode_func(t, v):
+            x = from_flat(v)
+            vec_t = jnp.full((B,), t, jnp.float32)
+            drift = vf_fn(x, vec_t, y)
+            return to_flat(drift)
+
+        sol = integrate.solve_ivp(
+            ode_func, (T_rev, t_eps), to_flat(x0),
+            rtol=rtol, atol=atol, method=method, **kwargs
+        )
+        return from_flat(sol.y[:, -1]), sol.nfev
 
     return run

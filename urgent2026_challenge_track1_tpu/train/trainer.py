@@ -405,12 +405,21 @@ class Trainer:
         state = state if state is not None else self.maybe_resume(self.init_state())
         rank, world = jax.process_index(), jax.process_count()
         key = jax.random.PRNGKey(cfg.seed + 1)
+        profiling = False
         for epoch in range(state.epoch, cfg.num_train_epochs):
             lr = self._set_lr(state, epoch)
             self.logger.log(state.step, {"lr": lr, "epoch": epoch})
             loader = self.dm.train_dataloader(rank=rank, world_size=world, epoch=epoch)
             for clean, noisy, fs, lengths in loader:
                 t0 = time.time()
+                # jax.profiler trace window (SURVEY.md §5: tracing as a
+                # first-class feature; the reference has none)
+                if state.step == cfg.profile_start_step and not profiling:
+                    jax.profiler.start_trace(os.path.join(self.exp_dir, "profile"))
+                    profiling = True
+                elif profiling and state.step >= cfg.profile_start_step + cfg.profile_num_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
                 step_fn = self._get_train_step(fs)
                 batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
                 key, sub = jax.random.split(key)
