@@ -22,7 +22,10 @@ def main():
     from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
     from urgent2026_challenge_track1_tpu.models import bsrnn as M
 
-    cfg = M.BSRNNConfig(input_dim=481, num_channel=192, num_layer=6, causal=False)
+    cfg = M.BSRNNConfig(
+        input_dim=481, num_channel=192, num_layer=6, causal=False,
+        compute_dtype="bfloat16",  # inference default: f32 residual/cell state
+    )
     stft_cfg = STFTConfig(n_fft=960, hop_length=480)
     params = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
 

@@ -116,8 +116,10 @@ def test_bsrnn_grad_finite(tiny_cfg, tiny_params):
 
 
 def test_flow_condition_variant_shapes():
-    cfg = M.BSRNNConfig(input_dim=481, num_channel=16, num_layer=2, with_condition=True)
-    params = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
+    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
+
+    cfg = FM.FlowSEConfig(n_fft=960, hop_length=480, bsrnn_hidden=16, num_layer=2)
+    params = FM.init_flowse(jax.random.PRNGKey(0), cfg)
     fs, F = 16000, 161
     B, T = 2, 5
     k = jax.random.PRNGKey(1)
@@ -125,5 +127,5 @@ def test_flow_condition_variant_shapes():
         jnp.complex64
     )
     t = jnp.asarray([0.3, 0.9])
-    out = M.bsrnn_apply(params, x, cfg, fs, t=t, spec_cond=x)
+    out = FM.vector_field(params, cfg, x, t, x, fs)
     assert out.shape == (B, T, F)

@@ -38,6 +38,19 @@ __all__ = [
 ]
 
 
+# module-level worker state for process-pool loading (spawn-safe)
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(i):
+    return _WORKER_DATASET[i]
+
+
 def read_audio(path: str):
     """(channels, T) float64 + fs (reference simulate_data_from_param.py:347-361)."""
     audio, fs = audio_io.read(path)
@@ -187,7 +200,12 @@ def collate_fn(batch, pad_quantum_ms: int = 1000):
 
 
 class PrefetchLoader:
-    """Thread-pool dataset loader with background batch assembly."""
+    """Background-pool dataset loader with bounded batch prefetch.
+
+    ``use_processes=True`` runs ``dataset.__getitem__`` in worker processes
+    (the dynamic-mixing renderer is CPU-bound numpy/scipy and holds the GIL);
+    plain file-reading datasets default to threads (IO releases the GIL).
+    """
 
     def __init__(
         self,
@@ -196,27 +214,48 @@ class PrefetchLoader:
         num_workers: int = 4,
         pad_quantum_ms: int = 1000,
         prefetch: int = 4,
+        use_processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.num_workers = max(1, num_workers)
         self.pad_quantum_ms = pad_quantum_ms
         self.prefetch = prefetch
+        self.use_processes = use_processes
 
     def __len__(self):
         return len(self.batch_sampler)
 
     def __iter__(self):
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
         batches = list(iter(self.batch_sampler))
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        if self.use_processes:
+            import multiprocessing as mp
+
+            def make_pool():
+                return ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_init_worker,
+                    initargs=(self.dataset,),
+                )
+
+            submit = lambda pool, i: pool.submit(_worker_get, i)
+        else:
+
+            def make_pool():
+                return ThreadPoolExecutor(self.num_workers)
+
+            submit = lambda pool, i: pool.submit(self.dataset.__getitem__, i)
+
         def produce():
             from collections import deque
 
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            with make_pool() as pool:
                 pending: deque = deque()
                 it = iter(batches)
                 exhausted = False
@@ -227,9 +266,7 @@ class PrefetchLoader:
                         except StopIteration:
                             exhausted = True
                             break
-                        pending.append(
-                            [pool.submit(self.dataset.__getitem__, i) for i in idxs]
-                        )
+                        pending.append([submit(pool, i) for i in idxs])
                     if not pending:
                         break
                     items = [f.result() for f in pending.popleft()]
@@ -300,8 +337,19 @@ class AudioDataModule:
         )
         sampler.set_epoch(epoch)
         self.train_batch_sampler = sampler
+        import os
+
+        # dynamic mixing is CPU-bound numpy -> processes, but only when the
+        # host actually has cores to spare (spawn costs ~2 s/worker)
+        use_processes = (
+            self.config.train_set_dynamic_mixing and (os.cpu_count() or 1) > 2
+        )
         return PrefetchLoader(
-            self.train_dataset, sampler, self.num_worker, self.pad_quantum_ms
+            self.train_dataset,
+            sampler,
+            self.num_worker,
+            self.pad_quantum_ms,
+            use_processes=use_processes,
         )
 
     def val_dataloader(self):

@@ -139,9 +139,24 @@ def istft(
     n_frames = spec.shape[-2]
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
     total = hop_length * (n_frames - 1) + n_fft
-    idx = _frame_indices(n_frames, n_fft, hop_length).reshape(-1)
-    out = jnp.zeros(spec.shape[:-2] + (total,), frames.real.dtype)
-    out = out.at[..., idx].add(frames.reshape(spec.shape[:-2] + (-1,)))
+    lead = spec.shape[:-2]
+    if n_fft % hop_length == 0:
+        # TPU-friendly overlap-add: when hop divides n_fft each output chunk
+        # of `hop` samples receives exactly r = n_fft/hop frame slices, so
+        # OLA folds into r shifted pads + adds (no scatter).
+        r = n_fft // hop_length
+        fr = frames.reshape(lead + (n_frames, r, hop_length))
+        out = None
+        for i in range(r):
+            pad = [(0, 0)] * len(lead) + [(i, r - 1 - i), (0, 0)]
+            contrib = jnp.pad(fr[..., :, i, :], pad)
+            out = contrib if out is None else out + contrib
+        out = out.reshape(lead + (total,))
+    else:
+        # odd geometries (e.g. fs=22050 -> n_fft=441, hop=220): scatter-add
+        idx = _frame_indices(n_frames, n_fft, hop_length).reshape(-1)
+        out = jnp.zeros(lead + (total,), frames.real.dtype)
+        out = out.at[..., idx].add(frames.reshape(lead + (-1,)))
     env = jnp.asarray(_ola_envelope(n_frames, n_fft, hop_length, win_length))
     out = out / env
     if center:

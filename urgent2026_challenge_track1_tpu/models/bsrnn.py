@@ -103,6 +103,8 @@ class BSRNNConfig:
     norm_eps: float = 1e-8        # espnet choose_norm GN eps
     with_condition: bool = False  # flow-matching: second band split + t-emb
     sub_channel: int = 16         # GradDecoder intermediate channels (flow)
+    compute_dtype: str = "float32"  # "bfloat16" runs the recurrence matmuls
+    #                                 on the MXU's fast path (f32 cell state)
 
     @property
     def subbands(self) -> tuple[int, ...]:
@@ -293,8 +295,10 @@ def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps)
 
 
 def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
-    """One dual-path block on (B, T, K, N)."""
+    """One dual-path block on (B, T, K, N).  Norms and the residual stream
+    stay float32; the LSTM/linear matmuls run in cfg.compute_dtype."""
     B, T, K, N = z.shape
+    cdtype = jnp.dtype(cfg.compute_dtype)
     # --- time path ---
     out = group_norm(
         z, layer["norm_time_scale"], layer["norm_time_bias"], axes=(1, 2, 3), eps=eps
@@ -305,20 +309,22 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
         proj = t[:, None] * layer["t_proj_w"][None, :] * (2.0 * np.pi)
         t_emb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)  # (B, N)
         out = out + t_emb[:, None, None, :]
-    seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N)
+    seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N).astype(cdtype)
     if cfg.causal:
         h = lstm_ops.lstm(layer["rnn_time"], seq)
     else:
         h = lstm_ops.bilstm(layer["rnn_time"], seq)
-    h = h @ layer["fc_time_w"] + layer["fc_time_b"]
+    h = jnp.dot(h, layer["fc_time_w"].astype(cdtype),
+                preferred_element_type=jnp.float32) + layer["fc_time_b"]
     z = z + h.reshape(B, K, T, N).transpose(0, 2, 1, 3)
     # --- band path ---
     out = group_norm(
         z, layer["norm_freq_scale"], layer["norm_freq_bias"], axes=(1, 2, 3), eps=eps
     )
-    seq = out.reshape(B * T, K, N)
+    seq = out.reshape(B * T, K, N).astype(cdtype)
     h = lstm_ops.bilstm(layer["rnn_freq"], seq)
-    h = h @ layer["fc_freq_w"] + layer["fc_freq_b"]
+    h = jnp.dot(h, layer["fc_freq_w"].astype(cdtype),
+                preferred_element_type=jnp.float32) + layer["fc_freq_b"]
     z = z + h.reshape(B, T, K, N)
     return z
 
@@ -358,19 +364,14 @@ def bsrnn_apply(
     t: Optional[jnp.ndarray] = None,
     spec_cond: Optional[jnp.ndarray] = None,
 ):
-    """Core BSRNN.  spec: (B, T, F) complex at sampling rate ``fs``.
-
-    Discriminative mode (t/spec_cond None): returns mask*spec + residual.
-    Conditional mode handled by models/bsrnn_flowse.py (GradDecoder variant).
-    """
+    """Core discriminative BSRNN.  spec: (B, T, F) complex at rate ``fs``;
+    returns mask*spec + residual.  The conditional (flow/score) variant with
+    the GradDecoder head lives in models/bsrnn_flowse.py (``spec_cond`` /
+    ``t`` are accepted for signature compatibility there)."""
     B, T, F = spec.shape
     eps = cfg.norm_eps
     K = band_count(cfg.input_dim, cfg.target_fs, fs, F)
     z = _band_split_apply(params["band_split"], spec, cfg, K, eps)
-    if cfg.with_condition:
-        assert spec_cond is not None
-        zy = _band_split_apply(params["band_split_y"], spec_cond, cfg, K, eps)
-        z = jnp.concatenate([z, zy], axis=-1) @ params["condition_fc_w"] + params["condition_fc_b"]
     z = _run_layers(params, z, cfg, t, eps)
     m = _mask_decoder_head(params["mask_decoder"]["mask"], z, cfg, K, F, eps)
     r = _mask_decoder_head(params["mask_decoder"]["residual"], z, cfg, K, F, eps)

@@ -51,6 +51,7 @@ class FlowSEConfig:
     T_rev: float = 1.0
     loss_type: str = "mse"  # "mse" | "mae"
     sub_channel: int = 16
+    compute_dtype: str = "float32"
 
     @property
     def stft_cfg(self) -> dsp.STFTConfig:
@@ -71,6 +72,7 @@ class FlowSEConfig:
             causal=False,
             with_condition=True,
             sub_channel=self.sub_channel,
+            compute_dtype=self.compute_dtype,
         )
 
     @property

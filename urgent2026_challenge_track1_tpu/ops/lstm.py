@@ -49,24 +49,27 @@ def init_lstm(key, input_size: int, hidden_size: int, bidirectional: bool = Fals
     return params
 
 
-def _scan_dir(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int, reverse: bool):
-    """Scan one direction.  x_proj: (B, T, 4H) input projection incl. biases."""
-    w_hh_t = w_hh.T  # (H, 4H)
+def _scan_dir(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray, hidden: int, reverse: bool,
+              accum_dtype=jnp.float32):
+    """Scan one direction.  x_proj: (B, T, 4H) input projection incl. biases;
+    w_hh_t: (H, 4H) pre-transposed recurrent weights."""
     B = x_proj.shape[0]
     dtype = x_proj.dtype
     h0 = jnp.zeros((B, hidden), dtype)
-    c0 = jnp.zeros((B, hidden), dtype)
+    c0 = jnp.zeros((B, hidden), accum_dtype)
 
     def step(carry, xp):
         h, c = carry
-        gates = xp + h @ w_hh_t  # (B, 4H)
+        gates = (
+            xp + jnp.dot(h, w_hh_t, preferred_element_type=accum_dtype)
+        ).astype(accum_dtype)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
         g = jnp.tanh(g)
         o = jax.nn.sigmoid(o)
         c = f * c + i * g
-        h = o * jnp.tanh(c)
+        h = (o * jnp.tanh(c)).astype(dtype)
         return (h, c), h
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H): scan over leading axis
@@ -78,13 +81,30 @@ def lstm(params, x: jnp.ndarray, reverse: bool = False, suffix: str = "") -> jnp
     """Unidirectional LSTM.  x: (B, T, I) -> (B, T, H)."""
     w_ih = params[f"w_ih{suffix}"]
     b = params[f"b_ih{suffix}"] + params[f"b_hh{suffix}"]
-    x_proj = x @ w_ih.T + b  # one big MXU matmul over all timesteps
+    dtype = x.dtype
+    x_proj = x @ w_ih.T.astype(dtype) + b.astype(dtype)
     hidden = w_ih.shape[0] // 4
-    return _scan_dir(x_proj, params[f"w_hh{suffix}"], hidden, reverse)
+    return _scan_dir(x_proj, params[f"w_hh{suffix}"].T.astype(dtype), hidden, reverse)
 
 
 def bilstm(params, x: jnp.ndarray) -> jnp.ndarray:
-    """Bidirectional LSTM.  x: (B, T, I) -> (B, T, 2H) (fwd ++ bwd, torch order)."""
-    fwd = lstm(params, x, reverse=False, suffix="")
-    bwd = lstm(params, x, reverse=True, suffix="_reverse")
+    """Bidirectional LSTM.  x: (B, T, I) -> (B, T, 2H) (fwd ++ bwd, torch order).
+
+    Both input projections are fused into one matmul over all timesteps; the
+    two direction scans stay separate (XLA overlaps the independent loops —
+    a batch-stacked single scan measured slower on TPU v5e because the
+    2-way batched recurrent matmul tiles worse than two plain ones).
+    """
+    dtype = x.dtype
+    w_ih = jnp.concatenate([params["w_ih"], params["w_ih_reverse"]], axis=0)
+    b = jnp.concatenate(
+        [params["b_ih"] + params["b_hh"], params["b_ih_reverse"] + params["b_hh_reverse"]]
+    )
+    proj = x @ w_ih.T.astype(dtype) + b.astype(dtype)  # (B, T, 8H)
+    fourH = params["w_ih"].shape[0]
+    hidden = fourH // 4
+    fwd = _scan_dir(proj[..., :fourH], params["w_hh"].T.astype(dtype), hidden, False)
+    bwd = _scan_dir(
+        proj[..., fourH:], params["w_hh_reverse"].T.astype(dtype), hidden, True
+    )
     return jnp.concatenate([fwd, bwd], axis=-1)

@@ -28,7 +28,9 @@ def _from_torch(path: str):
         n = sd["dnn.condition_fc.bias"].shape[0]
         layers = len({k.split(".")[2] for k in sd if k.startswith("dnn.rnn_time.")})
         n_fft = (sd["dnn.band_split_x.norm.0.weight"].shape[0], )  # unused probe
-        fcfg = flow_mod.FlowSEConfig(bsrnn_hidden=n, num_layer=layers)
+        fcfg = flow_mod.FlowSEConfig(
+            bsrnn_hidden=n, num_layer=layers, compute_dtype="bfloat16"
+        )
         template = flow_mod.init_flowse(jax.random.PRNGKey(0), fcfg)
         params = convert.convert_flowse_state_dict(sd, template, fcfg.dnn_cfg)
         return "flowse", params, fcfg, fcfg.stft_cfg
@@ -38,7 +40,10 @@ def _from_torch(path: str):
     layers = len(
         {k.split("rnn_time.")[1].split(".")[0] for k in sd if f"{prefix}rnn_time." in k}
     )
-    mcfg = bsrnn_mod.BSRNNConfig(input_dim=481, num_channel=n, num_layer=layers, causal=False)
+    mcfg = bsrnn_mod.BSRNNConfig(
+        input_dim=481, num_channel=n, num_layer=layers, causal=False,
+        compute_dtype="bfloat16",
+    )
     template = bsrnn_mod.init_bsrnn(jax.random.PRNGKey(0), mcfg)
     params = convert.convert_discriminative_state_dict(sd, template, mcfg, prefix)
     return "discriminative", params, mcfg, STFTConfig(n_fft=960, hop_length=480)
@@ -73,10 +78,16 @@ def _from_orbax(path: str):
 
 
 def _bundle_from_payload(payload, meta):
+    import dataclasses
+
     cfg = Config(**meta["config"])
     from urgent2026_challenge_track1_tpu.train.trainer import build_model
 
     bundle = build_model(cfg)
+    # inference runs the recurrence matmuls in bfloat16 (f32 residual/state)
+    bundle = dataclasses.replace(
+        bundle, model_cfg=dataclasses.replace(bundle.model_cfg, compute_dtype="bfloat16")
+    )
     params = payload.get("ema", None) if bundle.kind == "flowse" else None
     if params is None:
         params = payload["params"]
