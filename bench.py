@@ -25,6 +25,7 @@ def main():
     cfg = M.BSRNNConfig(
         input_dim=481, num_channel=192, num_layer=6, causal=False,
         compute_dtype="bfloat16",  # inference default: f32 residual/cell state
+        use_pallas_lstm=True,
     )
     stft_cfg = STFTConfig(n_fft=960, hop_length=480)
     params = M.init_bsrnn(jax.random.PRNGKey(0), cfg)

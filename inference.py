@@ -66,18 +66,28 @@ def main(args):
     os.makedirs(args.output_dir + "/wav", exist_ok=True)
     key = jax.random.PRNGKey(0)
 
+    from urgent2026_challenge_track1_tpu.models.streaming import enhance_streaming
+
     with open(args.output_dir + "/inf.scp", "w") as f:
         for uid in input_audios:
             wav, sr = sf.read(input_audios[uid])
             if wav.ndim > 1:
                 wav = wav[:, 0]
             T = wav.shape[0]
-            # pad to 1 s buckets: bounded compile count over utterance lengths
-            bucket = -(-T // sr) * sr
-            x = np.zeros((1, bucket), np.float32)
-            x[0, :T] = wav
             key, sub = jax.random.split(key)
-            enhanced = np.asarray(enhance(jnp.asarray(x), int(sr), sub))[0, :T]
+            if T > args.chunk_seconds * sr:
+                # long-form: fixed-shape chunked overlap-add (one program)
+                enhanced = enhance_streaming(
+                    lambda x: np.asarray(enhance(jnp.asarray(x), int(sr), sub)),
+                    wav.astype(np.float32), int(sr),
+                    chunk_seconds=args.chunk_seconds,
+                )
+            else:
+                # pad to 1 s buckets: bounded compile count over lengths
+                bucket = -(-T // sr) * sr
+                x = np.zeros((1, bucket), np.float32)
+                x[0, :T] = wav
+                enhanced = np.asarray(enhance(jnp.asarray(x), int(sr), sub))[0, :T]
             enhanced = enhanced / (np.abs(enhanced).max() or 1.0) * 0.9
             out_path = f"{args.output_dir}/wav/{uid}.wav"
             sf.write(out_path, enhanced, sr)
@@ -96,4 +106,7 @@ if __name__ == "__main__":
                         help="Checkpoint: orbax dir or torch .ckpt")
     parser.add_argument("--device", type=str, default="tpu",
                         help="kept for reference-CLI parity; jax picks devices")
+    parser.add_argument("--chunk_seconds", type=float, default=30.0,
+                        help="inputs longer than this are enhanced as "
+                             "fixed-shape overlapping chunks with crossfade")
     main(parser.parse_args())

@@ -7,6 +7,11 @@ dual-path recurrence alone, to locate the bottleneck before kernel work.
 
 import time
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,9 +89,34 @@ def bench_variants():
         print(f"{dtype}: {t*1e3:.1f} ms (RTF {audio_s/t:.0f}x)")
 
 
+def bench_pallas_model():
+    """Full-model RTF with and without the Pallas time-LSTM kernel (bf16)."""
+    stft_cfg = dsp.STFTConfig(n_fft=960, hop_length=480)
+    fs, seconds, B = 48000, 4, 4
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, fs * seconds)).astype(np.float32) * 0.1
+    )
+    audio_s = B * seconds
+    outs = {}
+    for use_pallas in (False, True):
+        cfg = M.BSRNNConfig(input_dim=481, num_channel=192, num_layer=6,
+                            causal=False, compute_dtype="bfloat16",
+                            use_pallas_lstm=use_pallas)
+        params = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
+        fn = jax.jit(lambda p, w: M.bsrnn_se_apply(p, cfg, stft_cfg, w, fs)[0])
+        t = timeit(fn, params, wav)
+        outs[use_pallas] = np.asarray(fn(params, wav))
+        print(f"pallas={use_pallas}: {t*1e3:.1f} ms (RTF {audio_s/t:.0f}x)", flush=True)
+    err = np.abs(outs[True] - outs[False]).max()
+    print(f"max output diff: {err:.2e}", flush=True)
+
+
 if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "variants":
         bench_variants()
+        raise SystemExit
+    if len(sys.argv) > 1 and sys.argv[1] == "pallas":
+        bench_pallas_model()
         raise SystemExit
     main()

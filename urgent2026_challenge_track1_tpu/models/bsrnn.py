@@ -105,6 +105,8 @@ class BSRNNConfig:
     sub_channel: int = 16         # GradDecoder intermediate channels (flow)
     compute_dtype: str = "float32"  # "bfloat16" runs the recurrence matmuls
     #                                 on the MXU's fast path (f32 cell state)
+    use_pallas_lstm: bool = False   # time-LSTM via the Pallas kernel
+    #                                 (inference only: the kernel has no VJP)
 
     @property
     def subbands(self) -> tuple[int, ...]:
@@ -312,6 +314,10 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
     seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N).astype(cdtype)
     if cfg.causal:
         h = lstm_ops.lstm(layer["rnn_time"], seq)
+    elif cfg.use_pallas_lstm:
+        from urgent2026_challenge_track1_tpu.ops.pallas_lstm import bilstm_pallas
+
+        h = bilstm_pallas(layer["rnn_time"], seq)
     else:
         h = lstm_ops.bilstm(layer["rnn_time"], seq)
     h = jnp.dot(h, layer["fc_time_w"].astype(cdtype),

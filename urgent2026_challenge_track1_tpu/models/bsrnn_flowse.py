@@ -52,6 +52,7 @@ class FlowSEConfig:
     loss_type: str = "mse"  # "mse" | "mae"
     sub_channel: int = 16
     compute_dtype: str = "float32"
+    use_pallas_lstm: bool = False
 
     @property
     def stft_cfg(self) -> dsp.STFTConfig:
@@ -73,6 +74,7 @@ class FlowSEConfig:
             with_condition=True,
             sub_channel=self.sub_channel,
             compute_dtype=self.compute_dtype,
+            use_pallas_lstm=self.use_pallas_lstm,
         )
 
     @property

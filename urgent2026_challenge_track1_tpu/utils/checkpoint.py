@@ -20,6 +20,14 @@ from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as flow_mod
 __all__ = ["load_model_for_inference"]
 
 
+def _use_pallas() -> bool:
+    """The Pallas kernel compiles only for real TPU backends."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _from_torch(path: str):
     from urgent2026_challenge_track1_tpu.utils import convert
 
@@ -29,7 +37,8 @@ def _from_torch(path: str):
         layers = len({k.split(".")[2] for k in sd if k.startswith("dnn.rnn_time.")})
         n_fft = (sd["dnn.band_split_x.norm.0.weight"].shape[0], )  # unused probe
         fcfg = flow_mod.FlowSEConfig(
-            bsrnn_hidden=n, num_layer=layers, compute_dtype="bfloat16"
+            bsrnn_hidden=n, num_layer=layers, compute_dtype="bfloat16",
+            use_pallas_lstm=_use_pallas(),
         )
         template = flow_mod.init_flowse(jax.random.PRNGKey(0), fcfg)
         params = convert.convert_flowse_state_dict(sd, template, fcfg.dnn_cfg)
@@ -42,7 +51,7 @@ def _from_torch(path: str):
     )
     mcfg = bsrnn_mod.BSRNNConfig(
         input_dim=481, num_channel=n, num_layer=layers, causal=False,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", use_pallas_lstm=_use_pallas(),
     )
     template = bsrnn_mod.init_bsrnn(jax.random.PRNGKey(0), mcfg)
     params = convert.convert_discriminative_state_dict(sd, template, mcfg, prefix)
@@ -86,7 +95,11 @@ def _bundle_from_payload(payload, meta):
     bundle = build_model(cfg)
     # inference runs the recurrence matmuls in bfloat16 (f32 residual/state)
     bundle = dataclasses.replace(
-        bundle, model_cfg=dataclasses.replace(bundle.model_cfg, compute_dtype="bfloat16")
+        bundle,
+        model_cfg=dataclasses.replace(
+            bundle.model_cfg, compute_dtype="bfloat16",
+            use_pallas_lstm=_use_pallas(),
+        ),
     )
     params = payload.get("ema", None) if bundle.kind == "flowse" else None
     if params is None:
