@@ -1,0 +1,127 @@
+"""On-device simulation DSP vs the host numpy renderer."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal
+
+from urgent2026_challenge_track1_tpu.simulation import dsp as host
+from urgent2026_challenge_track1_tpu.simulation import jax_dsp as dev
+
+
+@pytest.fixture(scope="module")
+def sig():
+    rng = np.random.default_rng(0)
+    fs = 16000
+    t = np.arange(fs) / fs
+    speech = (0.3 * np.sin(2 * np.pi * 220 * t) * (np.clip(np.sin(2 * np.pi * 3 * t), 0, None) + 0.1)).astype(np.float64)
+    noise = (0.2 * rng.standard_normal(fs)).astype(np.float64)
+    return speech, noise, fs
+
+
+def test_fft_convolve_matches_scipy(sig):
+    speech, _, fs = sig
+    h = np.zeros(500)
+    h[3] = 1.0
+    h[100] = 0.5
+    ref = scipy.signal.convolve(speech[None], h[None], mode="full")[:, : len(speech)]
+    out = np.asarray(dev.fft_convolve(jnp.asarray(speech)[None], jnp.asarray(h)[None]))
+    np.testing.assert_allclose(out, ref, atol=1e-5)  # f32 rfft
+
+
+def test_vad_mask_matches_host(sig):
+    speech, _, fs = sig
+    x = np.concatenate([np.zeros(4000), speech, np.zeros(4000)])
+    ref = host.detect_non_silence(x[None])[0]
+    out = np.asarray(dev.detect_non_silence_mask(jnp.asarray(x)[None]))[0]
+    # identical on >99% of samples (edge-extension handling may differ by one frame)
+    assert (ref == out).mean() > 0.99
+
+
+def test_mix_at_snr_matches_host(sig):
+    speech, noise, fs = sig
+    rng = np.random.default_rng(5)
+    ref_noisy, ref_noise = host.mix_noise(speech[None].copy(), noise[None].copy(), snr=7.0, rng=rng)
+    noisy, scaled = dev.mix_at_snr(
+        jnp.asarray(speech)[None], jnp.asarray(noise)[None], jnp.asarray([7.0])
+    )
+    # same-length noise -> no random offset; compare directly
+    np.testing.assert_allclose(np.asarray(noisy), ref_noisy, rtol=2e-3, atol=1e-5)
+
+
+def test_early_rir_mask(sig):
+    _, _, fs = sig
+    rir = np.zeros((1, 4000))
+    rir[0, 50] = 1.0
+    rir[0, 2000] = 0.5
+    mask = np.asarray(dev.early_rir_mask(jnp.asarray(rir), fs))
+    assert mask[0, 50] == 1.0 and mask[0, 49 + int(0.05 * fs)] == 1.0
+    assert mask[0, 50 + int(0.05 * fs)] == 0.0
+
+
+def test_quantile_clip_matches_host(sig):
+    speech, _, fs = sig
+    ref = host.clipping(speech[None], 0.05, 0.92)
+    out = np.asarray(dev.quantile_clip(jnp.asarray(speech)[None], jnp.asarray([0.05]), jnp.asarray([0.92])))
+    np.testing.assert_allclose(out, ref, atol=1e-7)
+
+
+def test_packet_loss(sig):
+    speech, _, fs = sig
+    n_packets = len(speech) // (20 * fs // 1000)
+    mask = np.ones((1, n_packets), np.float32)
+    mask[0, 5] = 0.0
+    out = np.asarray(dev.apply_packet_loss(jnp.asarray(speech)[None], jnp.asarray(mask)))
+    pk = 20 * fs // 1000
+    assert np.all(out[0, 5 * pk : 6 * pk] == 0)
+    assert np.allclose(out[0, : 5 * pk], speech[: 5 * pk])
+
+
+def test_high_pass_matches_host(sig):
+    speech, _, fs = sig
+    ref = host.high_pass_filter(speech[None], fs)
+    out = np.asarray(dev.high_pass(jnp.asarray(speech)[None], fs))
+    # same zero-phase response up to edge effects
+    err = np.abs(out[0, 500:-500] - ref[0, 500:-500]).max()
+    assert err < 5e-3, err
+
+
+def test_bandwidth_lowpass_removes_band(sig):
+    _, _, fs = sig
+    t = np.arange(fs) / fs
+    x = np.sin(2 * np.pi * 440 * t) + np.sin(2 * np.pi * 7000 * t)
+    y = np.asarray(dev.bandwidth_lowpass(jnp.asarray(x)[None], fs, 8000))
+    spec = np.abs(np.fft.rfft(y[0]))
+    freqs = np.fft.rfftfreq(fs, 1 / fs)
+    assert spec[np.abs(freqs - 7000) < 5].max() < spec[np.abs(freqs - 440) < 5].max() * 1e-2
+
+
+def test_render_batch_end_to_end(sig):
+    import jax
+
+    speech, noise, fs = sig
+    B, T = 2, len(speech)
+    speeches = jnp.asarray(np.stack([speech, speech * 0.5]))
+    noises = jnp.asarray(np.stack([noise, noise]))
+    rir = np.zeros((B, 2000))
+    rir[:, 10] = 1.0
+    rir[0, 900] = 0.4  # item 0 reverberant
+    n_packets = T // (20 * fs // 1000)
+    packet_mask = np.ones((B, n_packets), np.float32)
+    packet_mask[1, 3:5] = 0.0
+    bw_mask = np.ones((B, T // 2 + 1), np.float32)
+
+    fn = jax.jit(lambda *a: dev.render_batch(*a, fs=fs, highpass=True),)
+    target, noisy = fn(
+        speeches, noises, jnp.asarray(rir), jnp.asarray([5.0, 10.0]),
+        jnp.asarray([1.0, 0.0]), jnp.asarray([0.0, 0.02]), jnp.asarray([1.0, 0.95]),
+        jnp.asarray(packet_mask), jnp.asarray(bw_mask),
+    )
+    target, noisy = np.asarray(target), np.asarray(noisy)
+    assert target.shape == noisy.shape == (B, T)
+    assert np.isfinite(target).all() and np.isfinite(noisy).all()
+    peak = max(np.abs(target).max(), np.abs(noisy).max())
+    assert peak <= 0.9 + 1e-5
+    # packet loss zeroed item 1's packets
+    pk = 20 * fs // 1000
+    assert np.abs(noisy[1, 3 * pk : 5 * pk]).max() < 1e-7

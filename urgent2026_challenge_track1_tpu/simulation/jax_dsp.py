@@ -1,0 +1,202 @@
+"""On-device (jit/vmap) simulation DSP for TPU-side batch augmentation.
+
+The reference renders augmentations per sample on host CPUs inside
+DataLoader workers (SURVEY.md §3.1); this module provides batched JAX
+equivalents of the renderer's core math so a whole (fs, T) bucket can be
+augmented on device in one program — the north-star "dynamic mixing moves
+on-device" path.  Parameter sampling stays on host (simulation/params.py);
+each batch ships a small struct of per-item parameters.
+
+Deviations from the host renderer (simulation/dsp.py), documented:
+  * bandwidth limitation is an anti-aliasing low-pass at the target Nyquist
+    (the host down-up polyphase resample is a near-ideal LPF; the on-device
+    version skips the decimation grid so there are no aliasing images);
+  * quantile clipping uses jnp.quantile (linear interpolation, same as
+    numpy default);
+  * the wind-noise sidechain compressor stays on host (sequential C++
+    kernel; wind items are p=0.05 of batches).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+__all__ = [
+    "fft_convolve",
+    "detect_non_silence_mask",
+    "mix_at_snr",
+    "early_rir_mask",
+    "quantile_clip",
+    "apply_packet_loss",
+    "bandwidth_lowpass",
+    "high_pass",
+    "render_batch",
+]
+
+
+def fft_convolve(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Linear convolution truncated to len(x).  (..., T) conv (..., L)."""
+    T = x.shape[-1]
+    L = h.shape[-1]
+    n = T + L - 1
+    nfft = 1 << int(np.ceil(np.log2(n)))
+    y = jnp.fft.irfft(
+        jnp.fft.rfft(x, nfft) * jnp.fft.rfft(h, nfft), nfft
+    )
+    return y[..., :T]
+
+
+def detect_non_silence_mask(
+    x: jnp.ndarray, threshold: float = 0.01, frame_length: int = 1024,
+    frame_shift: int = 512,
+) -> jnp.ndarray:
+    """Boolean VAD mask (..., T), espnet detect_non_silence semantics."""
+    T = x.shape[-1]
+    if T < frame_length:
+        return jnp.ones_like(x, dtype=bool)
+    n = (T - frame_length) // frame_shift + 1
+    idx = np.arange(frame_length)[None, :] + frame_shift * np.arange(n)[:, None]
+    framed = x[..., idx]
+    power = jnp.mean(framed**2, axis=-1)
+    mean_power = jnp.mean(power, axis=-1, keepdims=True)
+    detect = power / jnp.maximum(mean_power, 1e-30) > threshold
+    detect = jnp.where(mean_power > 0, detect, True)
+    # expand each frame decision over frame_shift samples, edge-extend tail
+    det = jnp.repeat(detect, frame_shift, axis=-1)
+    pad = T - det.shape[-1]
+    det = jnp.concatenate(
+        [det, jnp.broadcast_to(det[..., -1:], det.shape[:-1] + (pad,))], axis=-1
+    )
+    return det
+
+
+def mix_at_snr(speech: jnp.ndarray, noise: jnp.ndarray, snr_db: jnp.ndarray):
+    """(B, T) mix at per-item SNR using VAD-masked powers.  Returns
+    (noisy, scaled_noise)."""
+    sm = detect_non_silence_mask(speech)
+    nm = detect_non_silence_mask(noise)
+    p_s = jnp.sum(speech**2 * sm, axis=-1) / jnp.maximum(jnp.sum(sm, axis=-1), 1)
+    p_n = jnp.sum(noise**2 * nm, axis=-1) / jnp.maximum(jnp.sum(nm, axis=-1), 1)
+    scale = 10 ** (-snr_db / 20) * jnp.sqrt(p_s) / jnp.sqrt(jnp.maximum(p_n, 1e-10))
+    scaled = scale[:, None] * noise
+    return speech + scaled, scaled
+
+
+def early_rir_mask(rir: jnp.ndarray, fs: int, early_sec: float = 0.05,
+                   level_ratio: float = 0.1) -> jnp.ndarray:
+    """Mask keeping 50 ms after the direct-path onset (rir_utils semantics)."""
+    L = rir.shape[-1]
+    abs_h = jnp.abs(rir)
+    peak = jnp.max(abs_h, axis=-1, keepdims=True)
+    over = abs_h > level_ratio * peak
+    start = jnp.argmax(over, axis=-1)  # first sample above threshold
+    stop = start + int(early_sec * fs)
+    pos = jnp.arange(L)
+    return (pos[None, :] < stop[:, None]).astype(rir.dtype)
+
+
+def quantile_clip(x: jnp.ndarray, min_q: jnp.ndarray, max_q: jnp.ndarray):
+    """Per-item quantile clipping (renderer clipping augmentation)."""
+
+    def one(xi, lo_q, hi_q):
+        lo = jnp.quantile(xi, lo_q)
+        hi = jnp.quantile(xi, hi_q)
+        return jnp.clip(xi, lo, hi)
+
+    return jax.vmap(one)(x, min_q, max_q)
+
+
+def apply_packet_loss(x: jnp.ndarray, packet_mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero packets: packet_mask (B, n_packets) 1=keep; 20 ms packets."""
+    B, T = x.shape
+    n_packets = packet_mask.shape[-1]
+    pk = T // n_packets
+    mask = jnp.repeat(packet_mask, pk, axis=-1)
+    mask = jnp.pad(mask, ((0, 0), (0, T - mask.shape[-1])), constant_values=1.0)
+    return x * mask
+
+
+@functools.lru_cache(maxsize=64)
+def _lowpass_taps(fs: int, fs_new: int, numtaps: int = 257):
+    cutoff = (fs_new / 2) / (fs / 2)
+    return scipy.signal.firwin(numtaps, cutoff * 0.95, window=("kaiser", 9.0)).astype(
+        np.float32
+    )
+
+
+def bandwidth_lowpass(x: jnp.ndarray, fs: int, fs_new: int) -> jnp.ndarray:
+    """Anti-alias low-pass at the target Nyquist (on-device bandwidth
+    limitation; see module docstring for the deviation note)."""
+    if fs_new >= fs:
+        return x
+    taps = jnp.asarray(_lowpass_taps(fs, fs_new))
+    pad = len(np.asarray(taps)) // 2
+    y = fft_convolve(jnp.pad(x, ((0, 0), (0, pad))), taps[None, :])
+    return y[..., pad : pad + x.shape[-1]]
+
+
+@functools.lru_cache(maxsize=16)
+def _hp_taps(fs: int):
+    from urgent2026_challenge_track1_tpu.simulation.dsp import _high_pass_taps
+
+    return _high_pass_taps(fs).astype(np.float32)
+
+
+def high_pass(x: jnp.ndarray, fs: int) -> jnp.ndarray:
+    """Zero-phase 70 Hz high-pass (filtfilt = forward + time-reversed pass;
+    the causal delay of the forward pass cancels against the reversed pass)."""
+    taps = jnp.asarray(_hp_taps(fs))[None, :]
+    pad = taps.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
+    T = xp.shape[-1]
+    y = fft_convolve(jnp.pad(xp, ((0, 0), (0, pad))), taps)[..., :T]
+    y = fft_convolve(jnp.pad(jnp.flip(y, -1), ((0, 0), (0, pad))), taps)[..., :T]
+    y = jnp.flip(y, -1)
+    return y[..., pad : pad + x.shape[-1]]
+
+
+def render_batch(
+    speech: jnp.ndarray,     # (B, T) clean sources (padded bucket)
+    noise: jnp.ndarray,      # (B, T) length-fitted noise
+    rir: jnp.ndarray,        # (B, L) RIRs (identity impulse when no reverb)
+    snr_db: jnp.ndarray,     # (B,)
+    use_rir: jnp.ndarray,    # (B,) 1.0 where reverb applies
+    clip_lo: jnp.ndarray,    # (B,) min quantile (0.0 disables with hi=1.0)
+    clip_hi: jnp.ndarray,    # (B,)
+    packet_mask: jnp.ndarray,  # (B, n_packets) 1=keep
+    bw_mask: jnp.ndarray,    # (B, F_rfft) precomputed low-pass masks (1=pass)
+    fs: int,
+    highpass: bool = True,
+):
+    """One jitted program augmenting a whole (fs, T) bucket on device.
+
+    Returns (clean_target, noisy) with joint 0.9 peak normalization
+    (renderer :575-589).  Frequency-domain bandwidth masks allow per-item
+    target rates in one batch.
+    """
+    if highpass:
+        speech = high_pass(speech, fs)
+    # reverb: full RIR for the noisy path, early RIR for the target
+    full = fft_convolve(speech, rir)
+    early = fft_convolve(speech, rir * early_rir_mask(rir, fs))
+    u = use_rir[:, None]
+    noisy = u * full + (1 - u) * speech
+    target = u * early + (1 - u) * speech
+    noisy, scaled_noise = mix_at_snr(noisy, noise, snr_db)
+    # bandwidth limitation via per-item rfft masks
+    T = speech.shape[-1]
+    spec = jnp.fft.rfft(noisy, T)
+    noisy = jnp.fft.irfft(spec * bw_mask, T)
+    noisy = quantile_clip(noisy, clip_lo, clip_hi)
+    noisy = apply_packet_loss(noisy, packet_mask)
+    peak = jnp.maximum(
+        jnp.max(jnp.abs(noisy), -1),
+        jnp.maximum(jnp.max(jnp.abs(target), -1), jnp.max(jnp.abs(scaled_noise), -1)),
+    )
+    scale = 0.9 / jnp.maximum(peak, 1e-6)
+    return target * scale[:, None], noisy * scale[:, None]

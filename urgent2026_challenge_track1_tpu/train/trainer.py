@@ -166,7 +166,9 @@ def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int):
         sisnr = jax.lax.stop_gradient(losses.si_snr(clean, wav).mean())
         return loss, {"sisnr": sisnr}
 
-    @jax.jit
+    # donate params/opt/ema buffers: the update happens in place on device,
+    # halving peak parameter memory
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, opt_state, ema_params, key, clean, noisy):
         (loss, extra), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
             params, key, clean, noisy
