@@ -107,6 +107,8 @@ class BSRNNConfig:
     #                                 on the MXU's fast path (f32 cell state)
     use_pallas_lstm: bool = False   # time-LSTM via the Pallas kernel
     #                                 (inference only: the kernel has no VJP)
+    remat: bool = True              # rematerialize each dual-path layer in
+    #                                 the backward pass (HBM >> FLOPs here)
 
     @property
     def subbands(self) -> tuple[int, ...]:
@@ -336,8 +338,17 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
 
 
 def _run_layers(params, z, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
+    layer_fn = _dual_path_layer
+    if cfg.remat:
+        # recompute layer activations in the backward pass: training the
+        # reference geometry (B=4, 2 s @48 kHz) otherwise exceeds one chip's
+        # HBM on saved scan activations
+        layer_fn = jax.checkpoint(
+            _dual_path_layer, static_argnums=(2,), policy=None
+        )
+
     def body(carry, layer):
-        return _dual_path_layer(carry, layer, cfg, t, eps), None
+        return layer_fn(carry, layer, cfg, t, eps), None
 
     z, _ = jax.lax.scan(body, z, params["layers"])
     return z

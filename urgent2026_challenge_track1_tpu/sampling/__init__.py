@@ -48,6 +48,34 @@ def _heun(vf_fn, x, t, y, stepsize):
 ODE_SOLVERS = {"euler": _euler, "midpoint": _midpoint, "heun": _heun}
 
 
+class Registry:
+    """Name -> thing registry (reference sampling/odesolvers.py:11-43)."""
+
+    def __init__(self, managed_thing: str):
+        self.managed_thing = managed_thing
+        self._registry = {}
+
+    def register(self, name: str):
+        def inner(wrapped):
+            self._registry[name] = wrapped
+            return wrapped
+
+        return inner
+
+    def get_by_name(self, name: str):
+        if name in self._registry:
+            return self._registry[name]
+        raise ValueError(f"{self.managed_thing} with name '{name}' unknown.")
+
+    def get_all_names(self):
+        return list(self._registry.keys())
+
+
+ODEsolverRegistry = Registry("ODEsolver")
+for _name, _fn in ODE_SOLVERS.items():
+    ODEsolverRegistry.register(_name)(_fn)
+
+
 def _timegrid(T_rev: float, t_eps: float, N: int):
     """Reference grid: linspace(T_rev, t_eps, N); step i uses
     stepsize = t_i - t_{i+1}, last step uses t_{N-1} (sampling/__init__.py:51-58)."""
