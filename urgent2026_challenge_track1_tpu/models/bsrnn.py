@@ -330,7 +330,12 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
         z, layer["norm_freq_scale"], layer["norm_freq_bias"], axes=(1, 2, 3), eps=eps
     )
     seq = out.reshape(B * T, K, N).astype(cdtype)
-    h = lstm_ops.bilstm(layer["rnn_freq"], seq)
+    if cfg.use_pallas_lstm:
+        from urgent2026_challenge_track1_tpu.ops.pallas_lstm import bilstm_pallas
+
+        h = bilstm_pallas(layer["rnn_freq"], seq)
+    else:
+        h = lstm_ops.bilstm(layer["rnn_freq"], seq)
     h = jnp.dot(h, layer["fc_freq_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_freq_b"]
     z = z + h.reshape(B, T, K, N)
