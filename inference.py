@@ -68,6 +68,9 @@ def main(args):
 
     from urgent2026_challenge_track1_tpu.models.streaming import enhance_streaming
 
+    if args.batch_size > 1:
+        return _main_batched(args, enhance, input_audios)
+
     with open(args.output_dir + "/inf.scp", "w") as f:
         for uid in input_audios:
             wav, sr = sf.read(input_audios[uid])
@@ -96,6 +99,44 @@ def main(args):
     print("done")
 
 
+def _main_batched(args, enhance, input_audios):
+    """Bulk serving mode: group utterances by (fs, 1 s length bucket) and
+    enhance whole batches per compiled program (no reference counterpart —
+    the reference loops B=1)."""
+    import jax
+    import jax.numpy as jnp
+    from collections import defaultdict
+
+    from urgent2026_challenge_track1_tpu.utils import audio_io
+
+    groups = defaultdict(list)
+    for uid, path in input_audios.items():
+        frames, fs = audio_io.info(path)
+        bucket = -(-frames // fs) * fs
+        groups[(fs, bucket)].append((uid, path, frames))
+
+    key = jax.random.PRNGKey(0)
+    with open(args.output_dir + "/inf.scp", "w") as f:
+        for (fs, bucket), items in sorted(groups.items()):
+            for i in range(0, len(items), args.batch_size):
+                chunk = items[i : i + args.batch_size]
+                x = np.zeros((args.batch_size, bucket), np.float32)
+                for j, (uid, path, frames) in enumerate(chunk):
+                    wav, _ = audio_io.read(path)
+                    if wav.ndim > 1:
+                        wav = wav[:, 0]
+                    x[j, : len(wav)] = wav
+                key, sub = jax.random.split(key)
+                out = np.asarray(enhance(jnp.asarray(x), int(fs), sub))
+                for j, (uid, path, frames) in enumerate(chunk):
+                    y = out[j, :frames]
+                    y = y / (np.abs(y).max() or 1.0) * 0.9
+                    out_path = f"{args.output_dir}/wav/{uid}.wav"
+                    audio_io.write(out_path, y, fs)
+                    print(f"{uid} {out_path}", file=f)
+    print("done")
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--input_scp", type=str, required=True,
@@ -106,6 +147,9 @@ if __name__ == "__main__":
                         help="Checkpoint: orbax dir or torch .ckpt")
     parser.add_argument("--device", type=str, default="tpu",
                         help="kept for reference-CLI parity; jax picks devices")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help=">1 groups utterances by (fs, length bucket) "
+                             "and enhances them in device batches")
     parser.add_argument("--chunk_seconds", type=float, default=30.0,
                         help="inputs longer than this are enhanced as "
                              "fixed-shape overlapping chunks with crossfade")

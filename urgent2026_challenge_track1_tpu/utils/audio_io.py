@@ -88,19 +88,24 @@ def read(path: str, dtype: str = "float64"):
 
 def info_frames(path: str) -> int:
     """Number of frames (reference uses soundfile.SoundFile.frames)."""
+    return info(path)[0]
+
+
+def info(path: str) -> tuple[int, int]:
+    """(frames, samplerate) from the header without decoding audio."""
     if _sf is not None:
         with _sf.SoundFile(path) as af:
-            return af.frames
+            return af.frames, af.samplerate
     with open(path, "rb") as f:
         buf = f.read(4096)
-        chunks = _parse_chunks_headeronly(buf, f)
-    return chunks
+        return _parse_chunks_headeronly(buf, f)
 
 
-def _parse_chunks_headeronly(buf: bytes, f) -> int:
+def _parse_chunks_headeronly(buf: bytes, f) -> tuple[int, int]:
     assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a RIFF/WAVE file"
     pos = 12
     block_align = None
+    fs = None
     while True:
         while pos + 8 > len(buf):
             more = f.read(65536)
@@ -112,10 +117,11 @@ def _parse_chunks_headeronly(buf: bytes, f) -> int:
         if cid == b"fmt ":
             while pos + 8 + 16 > len(buf):
                 buf += f.read(65536)
+            fs = struct.unpack_from("<I", buf, pos + 8 + 4)[0]
             block_align = struct.unpack_from("<H", buf, pos + 8 + 12)[0]
         elif cid == b"data":
-            assert block_align, "fmt chunk must precede data"
-            return size // block_align
+            assert block_align and fs, "fmt chunk must precede data"
+            return size // block_align, fs
         pos += 8 + size + (size & 1)
 
 
