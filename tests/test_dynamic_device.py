@@ -1,0 +1,101 @@
+"""On-device dynamic mixing: source dataset -> collate -> device render."""
+
+import numpy as np
+import pytest
+
+from urgent2026_challenge_track1_tpu.data.dynamic_device import (
+    DynamicMixingSourceDataset,
+    collate_device_render,
+    render_on_device,
+)
+from urgent2026_challenge_track1_tpu.utils import audio_io
+
+
+@pytest.fixture()
+def dm_sources(tmp_path):
+    rng = np.random.default_rng(0)
+    fs = 16000
+
+    def wav(name, data):
+        p = tmp_path / name
+        audio_io.write(str(p), data.astype(np.float32), fs)
+        return str(p)
+
+    entries = {"speech": [], "noise": [], "rir": [], "wind": []}
+    t = np.arange(fs) / fs
+    for i in range(4):
+        sp = 0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+        entries["speech"].append((f"sp{i}", fs, wav(f"sp{i}.wav", sp)))
+    for i in range(2):
+        entries["noise"].append(
+            (f"nz{i}", fs, wav(f"nz{i}.wav", 0.2 * rng.standard_normal(fs // 2)))
+        )
+    rir = np.zeros(2000)
+    rir[10] = 1.0
+    rir[500] = 0.3
+    entries["rir"].append(("rir0", fs, wav("rir0.wav", rir)))
+    entries["wind"].append(
+        ("wind_noise0", fs, wav("wind0.wav", 0.2 * rng.standard_normal(fs)))
+    )
+    scps = {}
+    for kind, rows in entries.items():
+        p = tmp_path / f"{kind}.scp"
+        with open(p, "w") as f:
+            for uid, fs_, path in rows:
+                print(uid, fs_, path, file=f)
+        scps[kind] = str(p)
+    with open(tmp_path / "length.scp", "w") as f:
+        for uid, fs_, path in entries["speech"]:
+            print(uid, fs, file=f)
+    scps["length"] = str(tmp_path / "length.scp")
+    return scps
+
+
+def test_device_dynamic_mixing_end_to_end(dm_sources):
+    np.random.seed(0)
+    ds = DynamicMixingSourceDataset(
+        speech_source_scp=dm_sources["speech"],
+        noise_source_scp=dm_sources["noise"],
+        rir_scp=dm_sources["rir"],
+        windnoise_scp=dm_sources["wind"],
+        speech_length_file=dm_sources["length"],
+        max_duration=16000,
+        use_high_pass=True,
+    )
+    items = [ds[i] for i in range(4)]
+    batch = collate_device_render(items)
+    assert batch["speech"].shape == (4, 16000)
+    target, noisy = render_on_device(batch)
+    target, noisy = np.asarray(target), np.asarray(noisy)
+    assert np.isfinite(target).all() and np.isfinite(noisy).all()
+    assert max(np.abs(target).max(), np.abs(noisy).max()) <= 0.9 + 1e-5
+    # something was mixed in for every item
+    assert np.all(np.abs(noisy - target).max(axis=-1) > 1e-4)
+
+
+def test_device_dynamic_wind_items_prerendered(dm_sources):
+    np.random.seed(1)
+
+    from urgent2026_challenge_track1_tpu.simulation.params import SimulationConfigs
+
+    class AlwaysWindConfig(SimulationConfigs):
+        prob_wind_noise = 1.0  # force the host wind path
+
+    ds = DynamicMixingSourceDataset(
+        speech_source_scp=dm_sources["speech"],
+        noise_source_scp=dm_sources["noise"],
+        rir_scp=dm_sources["rir"],
+        windnoise_scp=dm_sources["wind"],
+        speech_length_file=dm_sources["length"],
+        max_duration=16000,
+        use_high_pass=True,
+        simulation_configs=AlwaysWindConfig,
+    )
+    items = [ds[0], ds[1]]
+    assert all(it["prerendered"] for it in items)
+    batch = collate_device_render(items)
+    target, noisy = render_on_device(batch)
+    # pre-rendered items pass through the device stage untouched
+    np.testing.assert_allclose(
+        np.asarray(noisy)[0], batch["noisy_pre"][0], atol=1e-6
+    )

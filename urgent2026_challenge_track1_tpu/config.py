@@ -45,6 +45,8 @@ class Config:
         # --- data ---
         self.train_set_path = "none"
         self.train_set_dynamic_mixing = True
+        self.dynamic_mixing_on_device = False  # render augmentation batches
+        #                                        on the TPU (data/dynamic_device)
         self.valid_set_path = "none"
         self.init_from = "none"
         self.max_duration = 96000

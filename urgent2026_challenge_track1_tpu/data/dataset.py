@@ -215,6 +215,7 @@ class PrefetchLoader:
         pad_quantum_ms: int = 1000,
         prefetch: int = 4,
         use_processes: bool = False,
+        collate=None,
     ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
@@ -222,6 +223,7 @@ class PrefetchLoader:
         self.pad_quantum_ms = pad_quantum_ms
         self.prefetch = prefetch
         self.use_processes = use_processes
+        self.collate = collate or collate_fn
 
     def __len__(self):
         return len(self.batch_sampler)
@@ -272,7 +274,7 @@ class PrefetchLoader:
                     items = [f.result() for f in pending.popleft()]
                     if stop.is_set():
                         return
-                    q.put(collate_fn(items, self.pad_quantum_ms))
+                    q.put(self.collate(items, self.pad_quantum_ms))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -299,7 +301,26 @@ class AudioDataModule:
         self.batch_size = config.batch_size
         self.pad_quantum_ms = getattr(config, "length_bucket_ms", 1000)
 
-        if config.train_set_dynamic_mixing:
+        self.device_render = bool(
+            config.train_set_dynamic_mixing
+            and getattr(config, "dynamic_mixing_on_device", False)
+        )
+        if self.device_render:
+            from urgent2026_challenge_track1_tpu.data.dynamic_device import (
+                DynamicMixingSourceDataset,
+            )
+
+            self.train_dataset = DynamicMixingSourceDataset(
+                speech_source_scp=f"{self.train_dir}/speech_sources.scp",
+                noise_source_scp=f"{self.train_dir}/noise_scoures.scp",
+                speech_length_file=f"{self.train_dir}/source_length.scp",
+                rir_scp=f"{self.train_dir}/rirs.scp",
+                windnoise_scp=f"{self.train_dir}/wind_noise_scoures.scp",
+                retry_when_fails=False,
+                max_duration=config.max_duration,
+                use_high_pass=config.use_high_pass,
+            )
+        elif config.train_set_dynamic_mixing:
             from urgent2026_challenge_track1_tpu.data.dynamic import DynamicMixingDataset
 
             self.train_dataset = DynamicMixingDataset(
@@ -344,12 +365,20 @@ class AudioDataModule:
         use_processes = (
             self.config.train_set_dynamic_mixing and (os.cpu_count() or 1) > 2
         )
+        collate = None
+        if self.device_render:
+            from urgent2026_challenge_track1_tpu.data.dynamic_device import (
+                collate_device_render,
+            )
+
+            collate = collate_device_render
         return PrefetchLoader(
             self.train_dataset,
             sampler,
             self.num_worker,
             self.pad_quantum_ms,
             use_processes=use_processes,
+            collate=collate,
         )
 
     def val_dataloader(self):

@@ -412,7 +412,23 @@ class Trainer:
             lr = self._set_lr(state, epoch)
             self.logger.log(state.step, {"lr": lr, "epoch": epoch})
             loader = self.dm.train_dataloader(rank=rank, world_size=world, epoch=epoch)
-            for clean, noisy, fs, lengths in loader:
+            for batch_item in loader:
+                if isinstance(batch_item, dict):
+                    # on-device dynamic mixing: render the augmentation batch
+                    # on the mesh, then train on the result (no host DSP)
+                    from urgent2026_challenge_track1_tpu.data.dynamic_device import (
+                        render_on_device,
+                    )
+
+                    fs = batch_item["fs"]
+                    lengths = batch_item["lengths"]
+                    target_dev, noisy_dev = render_on_device(
+                        batch_item, highpass=self.cfg.use_high_pass, mesh=self.mesh
+                    )
+                    clean = noisy = None
+                else:
+                    clean, noisy, fs, lengths = batch_item
+                    target_dev = noisy_dev = None
                 t0 = time.time()
                 # jax.profiler trace window (SURVEY.md §5: tracing as a
                 # first-class feature; the reference has none)
@@ -423,7 +439,10 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                 step_fn = self._get_train_step(fs)
-                batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
+                if target_dev is not None:
+                    batch = (target_dev, noisy_dev)
+                else:
+                    batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
                 key, sub = jax.random.split(key)
                 state.params, state.opt_state, state.ema_params, metrics = step_fn(
                     state.params, state.opt_state, state.ema_params, sub, *batch
