@@ -95,6 +95,18 @@ def init_params(key, bundle: ModelBundle):
 # ---------------------------------------------------------------------------
 
 
+def _frozen_mask(params):
+    """True for non-trainable leaves: the Gaussian-Fourier projection W is a
+    fixed buffer in the reference (models/bsrnn_flowse.py:95,
+    requires_grad=False)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(
+            getattr(k, "key", None) == "t_proj_w" for k in path
+        ),
+        params,
+    )
+
+
 def make_optimizer(cfg: Config):
     opt = optax.inject_hyperparams(
         lambda learning_rate: optax.chain(
@@ -104,6 +116,8 @@ def make_optimizer(cfg: Config):
                 eps=cfg.adam_epsilon,
                 weight_decay=cfg.weight_decay,
             ),
+            # zero updates (incl. weight decay) for frozen buffers
+            optax.masked(optax.set_to_zero(), _frozen_mask),
         )
     )(learning_rate=cfg.learning_rate)
     return opt
