@@ -409,12 +409,24 @@ class Trainer:
             batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
             key, sub = jax.random.split(key)
             m = step_fn(params, sub, *batch)
+            if count == 0 and self.bundle.kind == "flowse":
+                # reference flow_model.py:220-230: batch 0 additionally runs
+                # the N=10 Euler sampler and logs its SI-SNR
+                key, sub2 = jax.random.split(key)
+                enhanced = flow_mod.flowse_enhance(
+                    params, self.bundle.model_cfg, sub2, batch[1], fs, N=10
+                )
+                m = dict(m)
+                m["sisnr"] = losses.si_snr(batch[0], enhanced).mean()
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             count += 1
         if count == 0:
             return {"val_loss": float("inf")}
-        return {f"val_{k}": v / count for k, v in totals.items()}
+        out = {f"val_{k}": v / count for k, v in totals.items()}
+        if "val_sisnr" in out and self.bundle.kind == "flowse":
+            out["val_sisnr"] = totals["sisnr"]  # batch-0 value, not a mean
+        return out
 
     def fit(self, state: Optional[TrainState] = None) -> TrainState:
         cfg = self.cfg
