@@ -72,6 +72,7 @@ def build_model(cfg: Config) -> ModelBundle:
             t_eps=cfg.t_eps,
             T_rev=cfg.T_rev,
             loss_type=cfg.loss_type,
+            compute_dtype=cfg.compute_dtype,
         )
         return ModelBundle("flowse", fcfg, fcfg.stft_cfg)
     model_configs = cfg.model_configs or {}
@@ -80,6 +81,7 @@ def build_model(cfg: Config) -> ModelBundle:
         num_channel=model_configs.get("num_channel", 192),
         num_layer=model_configs.get("num_layer", 6),
         causal=False,
+        compute_dtype=cfg.compute_dtype,
     )
     return ModelBundle("discriminative", mcfg, STFTConfig(n_fft=960, hop_length=480))
 
