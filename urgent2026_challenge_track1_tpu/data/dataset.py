@@ -22,7 +22,7 @@ import queue
 import random
 import threading
 from collections import defaultdict
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 from urgent2026_challenge_track1_tpu.utils import audio_io

@@ -20,7 +20,6 @@ Numerics are verified against torch.nn.LSTM in tests/test_lstm.py.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ slots must not contribute to the statistics of other bands).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ rank-sharded sampler, ``dataset.py:361``).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

@@ -7,7 +7,6 @@ back to FlowSEModel) by detecting the model kind from the checkpoint itself.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import numpy as np
