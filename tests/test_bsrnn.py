@@ -72,7 +72,7 @@ def tiny_params(tiny_cfg):
     return M.init_bsrnn(jax.random.PRNGKey(0), tiny_cfg)
 
 
-@pytest.mark.parametrize("fs", [48000, 16000, 8000])
+@pytest.mark.parametrize("fs", [48000, 44100, 32000, 24000, 22050, 16000, 8000])
 def test_bsrnn_apply_shapes(tiny_cfg, tiny_params, fs):
     stft_cfg = STFTConfig(n_fft=960, hop_length=480)
     F = stft_cfg.n_bins(fs)
