@@ -107,3 +107,82 @@ def test_load_init_from_torch_file(tmp_path):
     torch.save({"state_dict": sd}, path)
     params = convert.load_init_from(str(path), template)
     assert np.asarray(params["band_split"]["b"]).shape == template["band_split"]["b"].shape
+
+
+def _make_flowse_state_dict(fcfg):
+    """Synthesize a state dict with the flow model's key layout
+    (reference flow_model.py attrs: dnn.{band_split_x,band_split_y,
+    condition_fc,t_cond,...,grad_decoder})."""
+    import torch
+
+    torch.manual_seed(1)
+    dnn = fcfg.dnn_cfg
+    C = dnn.num_channel
+    hdim = 2 * C
+    sd = {}
+    for bs in ("band_split_x", "band_split_y"):
+        for i, sub in enumerate(dnn.subbands):
+            cw = 2 * sub
+            sd[f"dnn.{bs}.norm.{i}.weight"] = torch.randn(cw)
+            sd[f"dnn.{bs}.norm.{i}.bias"] = torch.randn(cw)
+            sd[f"dnn.{bs}.fc.{i}.weight"] = torch.randn(C, cw, 1)
+            sd[f"dnn.{bs}.fc.{i}.bias"] = torch.randn(C)
+    sd["dnn.condition_fc.weight"] = torch.randn(C, 2 * C)
+    sd["dnn.condition_fc.bias"] = torch.randn(C)
+    for i in range(dnn.num_layer):
+        sd[f"dnn.t_cond.{i}.W"] = torch.randn(C // 2)
+        sd[f"dnn.norm_time.{i}.weight"] = torch.randn(C)
+        sd[f"dnn.norm_time.{i}.bias"] = torch.randn(C)
+        for name in ("rnn_time", "rnn_freq"):
+            for sfx in ("", "_reverse"):
+                sd[f"dnn.{name}.{i}.weight_ih_l0{sfx}"] = torch.randn(4 * hdim, C)
+                sd[f"dnn.{name}.{i}.weight_hh_l0{sfx}"] = torch.randn(4 * hdim, hdim)
+                sd[f"dnn.{name}.{i}.bias_ih_l0{sfx}"] = torch.randn(4 * hdim)
+                sd[f"dnn.{name}.{i}.bias_hh_l0{sfx}"] = torch.randn(4 * hdim)
+        sd[f"dnn.fc_time.{i}.weight"] = torch.randn(C, 2 * hdim)
+        sd[f"dnn.fc_time.{i}.bias"] = torch.randn(C)
+        sd[f"dnn.norm_freq.{i}.weight"] = torch.randn(C)
+        sd[f"dnn.norm_freq.{i}.bias"] = torch.randn(C)
+        sd[f"dnn.fc_freq.{i}.weight"] = torch.randn(C, 4 * C)
+        sd[f"dnn.fc_freq.{i}.bias"] = torch.randn(C)
+    sc = dnn.sub_channel
+    for head, conv in (("mlp_mask", "conv_after_mask"),
+                       ("mlp_residual", "conv_after_residual")):
+        for i, sub in enumerate(dnn.subbands):
+            sd[f"dnn.grad_decoder.{head}.{i}.0.weight"] = torch.randn(C)
+            sd[f"dnn.grad_decoder.{head}.{i}.0.bias"] = torch.randn(C)
+            sd[f"dnn.grad_decoder.{head}.{i}.1.weight"] = torch.randn(sc * sub, C, 1)
+            sd[f"dnn.grad_decoder.{head}.{i}.1.bias"] = torch.randn(sc * sub)
+        sd[f"dnn.grad_decoder.{conv}.0.weight"] = torch.randn(4, sc, 5, 5)
+        sd[f"dnn.grad_decoder.{conv}.0.bias"] = torch.randn(4)
+    return sd
+
+
+def test_flowse_conversion_runs_through_model():
+    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
+
+    fcfg = FM.FlowSEConfig(n_fft=960, hop_length=480, bsrnn_hidden=8, num_layer=2)
+    template = FM.init_flowse(jax.random.PRNGKey(0), fcfg)
+    sd = _make_flowse_state_dict(fcfg)
+    params = convert.convert_flowse_state_dict(sd, template, fcfg.dnn_cfg)
+
+    def by_path(tree):
+        return {
+            "/".join(map(str, p)): v
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    tmap, cmap = by_path(template), by_path(params)
+    assert set(tmap) == set(cmap)
+    for k in tmap:
+        assert tmap[k].shape == cmap[k].shape, k
+    # conv HWIO transpose spot check
+    w = sd["dnn.grad_decoder.conv_after_mask.0.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(params["grad_decoder"]["mask"]["conv_w"]), w.transpose(2, 3, 1, 0)
+    )
+    # converted params run the vector field
+    x = (jax.random.normal(jax.random.PRNGKey(1), (1, 4, 81))
+         + 1j * jax.random.normal(jax.random.PRNGKey(2), (1, 4, 81))).astype(jnp.complex64)
+    out = FM.vector_field(params, fcfg, x, jnp.asarray([0.5]), x, 8000)
+    assert np.isfinite(np.asarray(out.real)).all()
