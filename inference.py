@@ -46,6 +46,11 @@ def _enhance_fns(kind, params, model_cfg, stft_cfg):
 
 def main(args):
     import jax
+
+    if args.device == "cpu":
+        # must precede first backend use; env vars are clobbered by TPU
+        # plugin sitecustomizes
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from urgent2026_challenge_track1_tpu.utils.checkpoint import (

@@ -24,6 +24,14 @@ def main(argv=None):
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
 
+    # honor cfg.device (reference parity): "cpu" forces the host platform
+    # even when a TPU plugin pinned JAX_PLATFORMS (env vars alone are
+    # clobbered by its sitecustomize)
+    if cfg.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     # multi-host SPMD: initialize the jax distributed runtime when launched
     # under a multi-process coordinator (the TPU-native analog of the
     # reference's DDP spawn, SURVEY.md §2.8)
