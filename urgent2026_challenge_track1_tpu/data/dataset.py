@@ -272,9 +272,17 @@ class PrefetchLoader:
                     if not pending:
                         break
                     items = [f.result() for f in pending.popleft()]
+                    batch = self.collate(items, self.pad_quantum_ms)
+                    # bounded put that honors consumer shutdown (a plain
+                    # q.put could block forever after the consumer exits)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
                     if stop.is_set():
                         return
-                    q.put(self.collate(items, self.pad_quantum_ms))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

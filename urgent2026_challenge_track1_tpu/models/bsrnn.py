@@ -293,9 +293,14 @@ def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps)
         axes=(1, 3),
         eps=eps,
     )
-    return (
-        jnp.einsum("btkw,kwc->btkc", h, p["w"][:n_bands]) + p["b"][:n_bands][None, None]
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    z = jnp.einsum(
+        "btkw,kwc->btkc",
+        h.astype(cdtype),
+        p["w"][:n_bands].astype(cdtype),
+        preferred_element_type=jnp.float32,
     )
+    return z + p["b"][:n_bands][None, None]
 
 
 def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
@@ -369,9 +374,17 @@ def _mask_decoder_head(p, z, cfg: BSRNNConfig, n_bands: int, n_bins: int, eps):
     var = jnp.mean(jnp.square(h - mean), axis=(1, 3), keepdims=True)
     h = (h - mean) / jnp.sqrt(var + eps)
     h = h * p["norm_scale"][:n_bands][None, None] + p["norm_bias"][:n_bands][None, None]
-    h = jnp.tanh(jnp.einsum("btkc,kcd->btkd", h, p["w1"][:n_bands]) + p["b1"][:n_bands][None, None])
-    val = jnp.einsum("btkd,kdw->btkw", h, p["wv"][:n_bands]) + p["bv"][:n_bands][None, None]
-    gate = jnp.einsum("btkd,kdw->btkw", h, p["wg"][:n_bands]) + p["bg"][:n_bands][None, None]
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    hc = h.astype(cdtype)
+    h = jnp.tanh(
+        jnp.einsum("btkc,kcd->btkd", hc, p["w1"][:n_bands].astype(cdtype),
+                   preferred_element_type=jnp.float32)
+        + p["b1"][:n_bands][None, None]
+    ).astype(cdtype)
+    val = jnp.einsum("btkd,kdw->btkw", h, p["wv"][:n_bands].astype(cdtype),
+                     preferred_element_type=jnp.float32) + p["bv"][:n_bands][None, None]
+    gate = jnp.einsum("btkd,kdw->btkw", h, p["wg"][:n_bands].astype(cdtype),
+                      preferred_element_type=jnp.float32) + p["bg"][:n_bands][None, None]
     out = val * jax.nn.sigmoid(gate) * jnp.asarray(chan_mask)[None, None]
     cplx = out.reshape(B, T, K, cfg.max_sub, 2)
     cplx = jax.lax.complex(cplx[..., 0], cplx[..., 1]).reshape(B, T, K * cfg.max_sub)
