@@ -331,6 +331,31 @@ class MetricsLogger:
 
 class Trainer:
     def __init__(self, cfg: Config, datamodule):
+        # persistent compilation cache: restarts/resumes skip recompiling the
+        # per-(fs, shape) programs (multi-minute on remote TPU backends)
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        except Exception:
+            pass
+        if cfg.compute_dtype == "bfloat16":
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "unknown"
+            if backend == "cpu":
+                # XLA:CPU's thunk runtime rejects BF16xBF16=F32 dots; bf16 is
+                # a TPU fast path, so fall back rather than crash
+                import warnings
+
+                warnings.warn(
+                    "compute_dtype=bfloat16 is unsupported on the CPU backend; "
+                    "falling back to float32"
+                )
+                cfg.compute_dtype = "float32"
         self.cfg = cfg
         self.dm = datamodule
         self.bundle = build_model(cfg)
@@ -397,7 +422,9 @@ class Trainer:
 
     def _set_lr(self, state: TrainState, epoch: int):
         lr = lr_for_epoch(self.cfg, epoch)
-        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        # host scalar: jit converts it at call time, saving one per-epoch
+        # host->device transfer (identical semantics to a device array)
+        state.opt_state.hyperparams["learning_rate"] = np.float32(lr)
         return lr
 
     # -- loops -------------------------------------------------------------
