@@ -1,0 +1,86 @@
+#!/bin/env python
+"""Pre-populate the persistent compilation cache for all sampling rates.
+
+Production warm-up: compiles the train and/or inference program for every
+(fs, 1 s-bucket) signature the multi-rate pipeline can emit, so the first
+real epoch never stalls on a multi-minute XLA compile.  Run once per model
+config / jax version; results land in the persistent cache directory shared
+with the trainer and bench.
+
+Usage: python scripts/precompile.py [--mode train|infer|both]
+       [--seconds 2] [--batch_size 4] [--channels 196] [--layers 6]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SAMPLE_RATES = (8000, 16000, 22050, 24000, 32000, 44100, 48000)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=("train", "infer", "both"), default="both")
+    parser.add_argument("--seconds", type=int, default=2)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--channels", type=int, default=196)
+    parser.add_argument("--layers", type=int, default=6)
+    parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument("--cache_dir", default="/tmp/jax_cache")
+    args = parser.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from urgent2026_challenge_track1_tpu.config import Config
+    from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+    from urgent2026_challenge_track1_tpu.train.trainer import (
+        ModelBundle,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = Config(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
+    mcfg = M.BSRNNConfig(
+        input_dim=481, num_channel=args.channels, num_layer=args.layers,
+        causal=False, compute_dtype=args.compute_dtype,
+    )
+    icfg = M.BSRNNConfig(
+        input_dim=481, num_channel=args.channels, num_layer=args.layers,
+        causal=False, compute_dtype=args.compute_dtype, use_pallas_lstm=True,
+    )
+    stft_cfg = STFTConfig(n_fft=960, hop_length=480)
+    params = M.init_bsrnn(jax.random.PRNGKey(0), mcfg)
+    optimizer = make_optimizer(cfg)
+    bundle = ModelBundle("discriminative", mcfg, stft_cfg)
+
+    rng = np.random.default_rng(0)
+    for fs in SAMPLE_RATES:
+        T = fs * args.seconds
+        x = (0.1 * rng.standard_normal((args.batch_size, T))).astype(np.float32)
+        if args.mode in ("train", "both"):
+            t0 = time.perf_counter()
+            opt_state = optimizer.init(params)
+            step = make_train_step(bundle, optimizer, cfg, fs)
+            p2, *_ , m = step(params, opt_state, None, jax.random.PRNGKey(1), x, x)
+            jax.block_until_ready(m["loss"])
+            print(f"train fs={fs}: compiled in {time.perf_counter()-t0:.1f}s", flush=True)
+            del p2
+        if args.mode in ("infer", "both"):
+            t0 = time.perf_counter()
+            fn = jax.jit(
+                lambda p, w, fs=fs: M.bsrnn_se_apply(p, icfg, stft_cfg, w, fs)[0]
+            )
+            fn(params, x[:1]).block_until_ready()
+            print(f"infer fs={fs}: compiled in {time.perf_counter()-t0:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
