@@ -114,14 +114,35 @@ def _main_batched(args, enhance, input_audios):
 
     from urgent2026_challenge_track1_tpu.utils import audio_io
 
+    from urgent2026_challenge_track1_tpu.models.streaming import enhance_streaming
+
     groups = defaultdict(list)
+    long_items = []
     for uid, path in input_audios.items():
         frames, fs = audio_io.info(path)
+        if frames > args.chunk_seconds * fs:
+            # very long inputs stream in fixed chunks even in batch mode
+            # (a 10-minute file would otherwise force a huge padded batch)
+            long_items.append((uid, path, frames, fs))
+            continue
         bucket = -(-frames // fs) * fs
         groups[(fs, bucket)].append((uid, path, frames))
 
     key = jax.random.PRNGKey(0)
     with open(args.output_dir + "/inf.scp", "w") as f:
+        for uid, path, frames, fs in long_items:
+            wav, _ = audio_io.read(path)
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            key, sub = jax.random.split(key)
+            y = enhance_streaming(
+                lambda x: np.asarray(enhance(jnp.asarray(x), int(fs), sub)),
+                wav.astype(np.float32), int(fs), chunk_seconds=args.chunk_seconds,
+            )
+            y = y / (np.abs(y).max() or 1.0) * 0.9
+            out_path = f"{args.output_dir}/wav/{uid}.wav"
+            audio_io.write(out_path, y, fs)
+            print(f"{uid} {out_path}", file=f)
         for (fs, bucket), items in sorted(groups.items()):
             for i in range(0, len(items), args.batch_size):
                 chunk = items[i : i + args.batch_size]
