@@ -32,7 +32,8 @@ def timeit(fn, *args, n=5):
 
 
 def main():
-    cfg = M.BSRNNConfig(input_dim=481, num_channel=192, num_layer=6, causal=False)
+    cfg = M.BSRNNConfig(input_dim=481, num_channel=192, num_layer=6, causal=False,
+                        compute_dtype="bfloat16", use_pallas_lstm=True)
     stft_cfg = dsp.STFTConfig(n_fft=960, hop_length=480)
     params = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
     fs, seconds, B = 48000, 4, 4
