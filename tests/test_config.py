@@ -9,6 +9,8 @@ def test_every_default_has_a_flag():
     args = config_parser([])
     cfg = Config()
     for key in vars(cfg):
+        if key.startswith("_"):  # private schema bookkeeping, not a flag
+            continue
         assert hasattr(args, key), key
 
 

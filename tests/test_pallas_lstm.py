@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 
 from urgent2026_challenge_track1_tpu.ops import lstm as lstm_ops
-from urgent2026_challenge_track1_tpu.ops.pallas_lstm import bilstm_pallas, lstm_scan_pallas
+from urgent2026_challenge_track1_tpu.ops.pallas_lstm import (
+    bilstm_pallas,
+    bilstm_pallas_train,
+    lstm_pallas_train,
+    lstm_scan_pallas,
+)
 
 
 @pytest.mark.parametrize("reverse", [False, True])
@@ -18,6 +23,63 @@ def test_kernel_matches_scan(reverse):
     ref = lstm_ops._scan_dir(xp, whh, H, reverse)
     out = lstm_scan_pallas(xp, whh, reverse=reverse, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("b_block", [0, 8])
+def test_train_kernel_forward_matches_scan(reverse, b_block):
+    rng = np.random.default_rng(1)
+    B, T, H = 16, 17, 128
+    xp = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32) * 0.3)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    ref = lstm_ops._scan_dir(xp, whh, H, reverse)
+    out = lstm_pallas_train(xp, whh, reverse, b_block, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("b_block", [0, 8])
+def test_train_kernel_grads_match_scan(reverse, b_block):
+    """Gradcheck vs the lax.scan path (VERDICT r1 item 2 done-criterion)."""
+    rng = np.random.default_rng(2)
+    B, T, H = 16, 11, 128
+    xp = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32) * 0.3)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+
+    def loss_ref(xp_, whh_):
+        return jnp.sum(lstm_ops._scan_dir(xp_, whh_, H, reverse) * cot)
+
+    def loss_pl(xp_, whh_):
+        return jnp.sum(lstm_pallas_train(xp_, whh_, reverse, b_block, True) * cot)
+
+    gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(xp, whh)
+    gx, gw = jax.grad(loss_pl, argnums=(0, 1))(xp, whh)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=1e-4)
+
+
+def test_bilstm_train_grads_match_bilstm():
+    """Full bilstm wrapper: grads w.r.t. every torch-layout param + input."""
+    key = jax.random.PRNGKey(3)
+    B, T, I, H = 13, 7, 64, 128
+    params = lstm_ops.init_lstm(key, I, H, bidirectional=True)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, I))
+    cot = jax.random.normal(jax.random.PRNGKey(5), (B, T, 2 * H))
+
+    def loss_ref(p, x_):
+        return jnp.sum(lstm_ops.bilstm(p, x_) * cot)
+
+    def loss_pl(p, x_):
+        return jnp.sum(bilstm_pallas_train(p, x_, interpret=True) * cot)
+
+    (gp_ref, gx_ref) = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    (gp, gx) = jax.grad(loss_pl, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
+    for k in gp_ref:
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(gp_ref[k]), atol=1e-4, err_msg=k
+        )
 
 
 def test_bilstm_pallas_matches_bilstm_with_padding():

@@ -79,22 +79,38 @@ class Config:
         self.log_every_steps = 50
         self.profile_start_step = -1  # jax.profiler trace window (-1 = off)
         self.profile_num_steps = 5
+        self.use_pallas_lstm = "auto"  # "auto" (TPU only) | "true" | "false":
+        #                                Pallas recurrence kernels (fwd + VJP)
 
+        self._schema_keys = frozenset(k for k in vars(self) if not k.startswith("_"))
         for k, v in kwargs.items():
             setattr(self, k, v)
 
     def read_yaml(self):
-        """YAML override; sets train_tag from yaml basename (config.py:41-52)."""
+        """YAML override; sets train_tag from yaml basename (config.py:41-52).
+
+        Unlike the reference (which silently accepts any key), unknown keys
+        raise — the schema above is the single source of truth, and a typo'd
+        YAML key becoming a dead attribute is a silent misconfiguration.
+        """
         if self.config_file != "none":
             with open(self.config_file, "r", encoding="utf-8") as f:
                 d = yaml.safe_load(f.read())
+            unknown = sorted(set(d) - self._schema_keys)
+            if unknown:
+                raise ValueError(
+                    f"unknown config key(s) in {self.config_file}: {unknown}; "
+                    "valid keys are the Config schema attributes"
+                )
             for k, v in d.items():
                 setattr(self, k, v)
             self.train_tag = os.path.basename(self.config_file).replace(".yaml", "")
         return self
 
     def __repr__(self):
-        body = ",\n  ".join(f"{k}={v!r}" for k, v in sorted(vars(self).items()))
+        body = ",\n  ".join(
+            f"{k}={v!r}" for k, v in sorted(vars(self).items()) if not k.startswith("_")
+        )
         return f"Config(\n  {body}\n)"
 
 
@@ -111,7 +127,7 @@ def _str2bool(v):
 def config_parser(argv=None):
     """Auto-generate one CLI flag per Config default (config.py:54-73)."""
     cfg = Config()
-    parameters = vars(cfg)
+    parameters = {k: v for k, v in vars(cfg).items() if not k.startswith("_")}
     parser = argparse.ArgumentParser()
     for par, default in parameters.items():
         if isinstance(default, bool):

@@ -105,8 +105,9 @@ class BSRNNConfig:
     sub_channel: int = 16         # GradDecoder intermediate channels (flow)
     compute_dtype: str = "float32"  # "bfloat16" runs the recurrence matmuls
     #                                 on the MXU's fast path (f32 cell state)
-    use_pallas_lstm: bool = False   # time-LSTM via the Pallas kernel
-    #                                 (inference only: the kernel has no VJP)
+    use_pallas_lstm: bool = False   # recurrences via the Pallas kernels
+    #                                 (differentiable: custom VJP reverse-scan
+    #                                  kernel; lean kernel outside grad)
     remat: bool = True              # rematerialize each dual-path layer in
     #                                 the backward pass (HBM >> FLOPs here)
 

