@@ -1,5 +1,7 @@
 """Torch-checkpoint conversion: build a torch state dict with the reference's
-key layout and verify the converted pytree reproduces torch-computed pieces."""
+key layout and verify the converted pytree reproduces torch-computed pieces,
+plus END-TO-END forward equivalence against an independently written torch
+graph of the reference architecture (tests/torch_ref_bsrnn.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -186,3 +188,71 @@ def test_flowse_conversion_runs_through_model():
          + 1j * jax.random.normal(jax.random.PRNGKey(2), (1, 4, 81))).astype(jnp.complex64)
     out = FM.vector_field(params, fcfg, x, jnp.asarray([0.5]), x, 8000)
     assert np.isfinite(np.asarray(out.real)).all()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end forward equivalence vs an independently-written torch graph of
+# the reference architecture (VERDICT r1 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _rand_spec(key, B, T, F):
+    kr, ki = jax.random.split(jax.random.PRNGKey(key))
+    re = jax.random.normal(kr, (B, T, F))
+    im = jax.random.normal(ki, (B, T, F))
+    return (re + 1j * im).astype(jnp.complex64)
+
+
+@pytest.mark.parametrize("fs,F", [(8000, 81), (16000, 161), (48000, 481)])
+def test_discriminative_full_forward_matches_torch(fs, F):
+    from tests.torch_ref_bsrnn import DiscriminativeBSRNN
+
+    torch.manual_seed(7)
+    tm = DiscriminativeBSRNN(input_dim=481, num_channel=16, num_layer=2).eval()
+    sd = {f"se_model.bsrnn.bsrnn.{k}": v for k, v in tm.state_dict().items()}
+
+    cfg = M.BSRNNConfig(input_dim=481, num_channel=16, num_layer=2)
+    template = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
+    params = convert.convert_discriminative_state_dict(sd, template, cfg)
+
+    spec = _rand_spec(11, 2, 7, F)
+    with torch.no_grad():
+        ref_out = tm(torch.view_as_complex(
+            torch.from_numpy(
+                np.stack([np.asarray(spec.real), np.asarray(spec.imag)], -1)
+            )
+        ), fs).numpy()
+    out = np.asarray(M.bsrnn_apply(params, spec, cfg, fs))
+    np.testing.assert_allclose(out.real, ref_out.real, atol=2e-4)
+    np.testing.assert_allclose(out.imag, ref_out.imag, atol=2e-4)
+
+
+@pytest.mark.parametrize("fs,F", [(8000, 129), (48000, 769)])
+def test_flowse_full_forward_matches_torch(fs, F):
+    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
+    from tests.torch_ref_bsrnn import FlowBSRNN
+
+    torch.manual_seed(8)
+    tm = FlowBSRNN(input_dim=769, num_channel=16, num_layer=2, sub_channel=16).eval()
+    sd = {f"dnn.{k}": v for k, v in tm.state_dict().items()}
+
+    fcfg = FM.FlowSEConfig(n_fft=1536, hop_length=384, bsrnn_hidden=16, num_layer=2)
+    template = FM.init_flowse(jax.random.PRNGKey(0), fcfg)
+    params = convert.convert_flowse_state_dict(sd, template, fcfg.dnn_cfg)
+
+    x = _rand_spec(21, 2, 5, F)
+    y = _rand_spec(22, 2, 5, F)
+    t = jnp.asarray([0.3, 0.8])
+    with torch.no_grad():
+        def tt(z):
+            return torch.view_as_complex(
+                torch.from_numpy(np.stack([np.asarray(z.real), np.asarray(z.imag)], -1))
+            ).permute(0, 2, 1)  # (B, T, F) -> (B, F, T)
+
+        dnn_in = torch.stack([tt(x), tt(y)], dim=1)
+        g = tm(dnn_in, torch.from_numpy(np.asarray(t, np.float32)), fs)
+        ref_out = g[:, 0].permute(0, 2, 1).numpy()  # (B, T, F)
+    # reference FlowSEModel: vector field = -BSRNN(cat(x, y), t)
+    out = -np.asarray(FM.vector_field(params, fcfg, x, t, y, fs))
+    np.testing.assert_allclose(out.real, ref_out.real, atol=2e-4)
+    np.testing.assert_allclose(out.imag, ref_out.imag, atol=2e-4)

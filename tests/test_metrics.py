@@ -64,6 +64,40 @@ def test_pesq_invariants(speech_like):
         pesq_metric(x, x, 11025)
 
 
+def test_pesq_known_maxima_and_invariances(speech_like):
+    """The P.862 identical-signal maxima are published properties of the C
+    implementation: 4.549 (nb/P.862.1) and 4.644 (wb/P.862.2)."""
+    x, fs = speech_like
+    assert pesq_metric(x, x, fs) == pytest.approx(4.6439, abs=1e-3)
+    x8 = scipy.signal.resample_poly(x, 1, 2)
+    assert pesq_metric(x8, x8, 8000) == pytest.approx(4.5486, abs=1e-3)
+    # level invariance (fix_power_level) and delay invariance (alignment
+    # chain must recover a constant 50 ms delay exactly); the signal is
+    # silenced at the tail so the shift does not lose real content
+    assert pesq_metric(x, 0.25 * x, fs) == pytest.approx(4.6439, abs=1e-3)
+    d = int(0.05 * fs)
+    xs = x.copy()
+    xs[-4 * d :] = 0.0
+    delayed = np.concatenate([np.zeros(d), xs[:-d]])
+    assert pesq_metric(xs, delayed, fs) == pytest.approx(4.6439, abs=0.02)
+
+
+def test_pesq_golden_regression(speech_like):
+    """Self-golden vectors pinning the calibrated implementation (generated
+    once from this module; guards against silent numeric drift — NOT an ITU
+    conformance check, the C oracle is unavailable in-image)."""
+    x, fs = speech_like
+    x8 = scipy.signal.resample_poly(x, 1, 2)
+    golden = [
+        (x, _noisy(x, 20), fs, 3.8392),
+        (x, _noisy(x, 5), fs, 3.0740),
+        (x8, _noisy(x8, 20), 8000, 4.1552),
+        (x8, _noisy(x8, 5), 8000, 3.1335),
+    ]
+    for ref, deg, f, expect in golden:
+        assert pesq_metric(ref, deg, f) == pytest.approx(expect, abs=5e-3)
+
+
 def test_sdr(speech_like):
     x, fs = speech_like
     assert sdr_metric(x, x) == 50.0  # clamped
