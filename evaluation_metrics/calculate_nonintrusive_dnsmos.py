@@ -1,10 +1,14 @@
 #!/bin/env python
-"""Non-intrusive DNSMOS OVRL (reference calculate_nonintrusive_dnsmos.py).
+"""Non-intrusive DNSMOS (reference calculate_nonintrusive_dnsmos.py:14,84-126).
 
-Scores with the Microsoft DNS-Challenge ONNX predictors (sig_bak_ovr.onnx +
-model_v8.onnx).  Native inference pipeline: 9.01 s windows, 120-band log-mel
-for the P808 model, raw waveform for the primary model, polynomial MOS
-mapping, averaged over hops.
+Scores with the Microsoft DNS-Challenge ONNX predictors through a native
+pipeline reproducing espnet's ``DNSMOS_local``: 9.01 s windows hopped by 1 s;
+the primary model (sig_bak_ovr.onnx) consumes the raw waveform and its raw
+(SIG, BAK, OVR) are mapped through the P835 polynomials; the P808 model
+(model_v8.onnx) consumes a 120-band log-mel spectrogram (librosa-compatible:
+n_fft=321, hop 160, Slaney mel filterbank, power_to_db ref=max, (x+40)/40)
+of the window minus its last 160 samples.  Emits DNSMOS_OVRL (the
+reference's only output) plus P808_MOS.
 """
 
 import numpy as np
@@ -13,7 +17,7 @@ from _backends import BackendUnavailable, load_dnsmos
 from _shared import audio_io, base_parser, read_pairs, shard, write_results
 from urgent2026_challenge_track1_tpu.simulation.dsp import resample
 
-METRICS = ("OVRL",)
+METRICS = ("DNSMOS_OVRL", "P808_MOS")
 INPUT_LENGTH = 9.01
 FS = 16000
 
@@ -26,36 +30,49 @@ def _poly_fit(sig, bak, ovr):
     return p_sig(sig), p_bak(bak), p_ovr(ovr)
 
 
-def _logmel(audio, fs=FS, n_mels=120):
-    from urgent2026_challenge_track1_tpu.dsp.stft import stft
-    import jax.numpy as jnp
-
-    frame, hop = 320 + 1, 160
-    spec = np.abs(np.asarray(stft(jnp.asarray(audio[None]), 320, 160)))[0]
-    n_bins = spec.shape[-1]
-    mel = _mel_matrix(fs, 320, n_mels)
-    melspec = spec**2 @ mel.T
-    return (np.log10(np.maximum(melspec, 1e-10)) + 1e-10).astype(np.float32)
-
-
-def _mel_matrix(fs, n_fft, n_mels):
+def _slaney_mel_matrix(fs=FS, n_fft=321, n_mels=120):
+    """librosa.filters.mel defaults: Slaney mel scale + Slaney (area) norm."""
     def hz2mel(f):
-        return 2595.0 * np.log10(1.0 + f / 700.0)
+        f = np.atleast_1d(np.asarray(f, np.float64))
+        m = f / (200.0 / 3.0)
+        log_region = f >= 1000.0
+        m[log_region] = 15.0 + np.log(f[log_region] / 1000.0) / (np.log(6.4) / 27.0)
+        return m
 
     def mel2hz(m):
-        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+        m = np.atleast_1d(np.asarray(m, np.float64))
+        f = m * (200.0 / 3.0)
+        log_region = m >= 15.0
+        f[log_region] = 1000.0 * np.exp((np.log(6.4) / 27.0) * (m[log_region] - 15.0))
+        return f
 
     n_bins = n_fft // 2 + 1
     freqs = np.linspace(0, fs / 2, n_bins)
-    mels = np.linspace(hz2mel(0), hz2mel(fs / 2), n_mels + 2)
-    pts = mel2hz(mels)
+    pts = mel2hz(np.linspace(hz2mel(0.0)[0], hz2mel(fs / 2)[0], n_mels + 2))
     weights = np.zeros((n_mels, n_bins))
     for i in range(n_mels):
         lo, c, hi = pts[i], pts[i + 1], pts[i + 2]
         up = (freqs - lo) / max(c - lo, 1e-9)
         down = (hi - freqs) / max(hi - c, 1e-9)
         weights[i] = np.maximum(0, np.minimum(up, down))
+        weights[i] *= 2.0 / (hi - lo)  # Slaney area normalisation
     return weights
+
+
+def logmel_features(audio, fs=FS, n_mels=120, n_fft=321, hop=160):
+    """(frames, n_mels) float32, matching espnet DNSMOS_local.audio_melspec
+    (librosa melspectrogram + power_to_db(ref=max), then (x + 40) / 40)."""
+    audio = np.asarray(audio, np.float64)
+    pad = n_fft // 2
+    x = np.pad(audio, pad, mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))  # periodic hann
+    spec = np.abs(np.fft.rfft(x[idx] * win, n=n_fft, axis=-1)) ** 2
+    mel = spec @ _slaney_mel_matrix(fs, n_fft, n_mels).T  # (frames, n_mels)
+    db = 10.0 * np.log10(np.maximum(mel, 1e-10))
+    db = np.maximum(db - db.max(), -80.0)  # power_to_db(ref=np.max, top_db=80)
+    return ((db + 40.0) / 40.0).astype(np.float32)
 
 
 def score_one(sessions, audio, fs):
@@ -67,27 +84,29 @@ def score_one(sessions, audio, fs):
         audio = np.concatenate([audio, audio])
     num_hops = int(np.floor(len(audio) / FS) - INPUT_LENGTH) + 1
     hop_len = FS
-    ovrl = []
+    ovrl, p808_mos = [], []
     for i in range(max(num_hops, 1)):
         seg = audio[int(i * hop_len) : int(i * hop_len) + need]
         if len(seg) < need:
             break
         inp = np.array(seg, np.float32)[None]
-        oi = {"input_1": inp}
-        mos_sig_raw, mos_bak_raw, mos_ovr_raw = primary.run(None, oi)[0][0]
+        mos_sig_raw, mos_bak_raw, mos_ovr_raw = primary.run(None, {"input_1": inp})[0][0]
         _, _, mos_ovr = _poly_fit(mos_sig_raw, mos_bak_raw, mos_ovr_raw)
         ovrl.append(mos_ovr)
-    return float(np.mean(ovrl))
+        feats = logmel_features(seg[:-160])[None]  # (1, frames, 120)
+        p808_mos.append(float(p808.run(None, {"input_1": feats})[0][0][0]))
+    return {"DNSMOS_OVRL": float(np.mean(ovrl)), "P808_MOS": float(np.mean(p808_mos))}
 
 
-def main(args):
+def main(args, sessions=None):
     pairs = read_pairs(args)
     pairs, suffix = shard(pairs, args)
-    sessions = load_dnsmos(args.primary_model, args.p808_model, args.device)
+    if sessions is None:
+        sessions = load_dnsmos(args.primary_model, args.p808_model, args.device)
     ret = []
     for uid, path in pairs:
         audio, fs = audio_io.read(path)
-        ret.append((uid, {"OVRL": score_one(sessions, audio, fs)}))
+        ret.append((uid, score_one(sessions, audio, fs)))
     write_results(args.output_dir, METRICS, ret, suffix)
 
 

@@ -75,15 +75,52 @@ def test_fit_and_resume(toy_dirs, tmp_path, monkeypatch):
     # metrics written
     assert os.path.exists(os.path.join(trainer.exp_dir, "metrics.jsonl"))
 
-    # resume: a fresh trainer restores the step and restarts the in-flight
-    # epoch (loader position is not checkpointed, like a Lightning mid-epoch
-    # restart), then continues to num_train_epochs
+    # resume: a fresh trainer restores step AND loader position (epoch,
+    # batch_in_epoch), so the continued run does exactly the remaining
+    # batches — Lightning loop-state restore semantics (train_se.py:67-72)
     cfg2 = _cfg(toy_dirs, tmp_path, num_train_epochs=2)
     trainer2 = Trainer(cfg2, AudioDataModule(cfg2))
     state2 = trainer2.maybe_resume(trainer2.init_state())
-    assert state2.step == 4 and state2.epoch == 0
+    assert state2.step == 4 and state2.epoch == 0 and state2.batch_in_epoch == 4
     state2 = trainer2.fit(state2)
-    assert state2.step == 12 and state2.epoch == 2
+    # epoch 0 already fully consumed (4 of 4 batches) -> only epoch 1 runs
+    assert state2.step == 8 and state2.epoch == 2
+
+
+def test_mid_epoch_resume_continues_at_next_batch(toy_dirs, tmp_path, monkeypatch):
+    """Done-criterion (VERDICT r1 item 7): the first batch after resume is
+    the batch an uninterrupted run would have seen next."""
+    monkeypatch.chdir(tmp_path)
+    from urgent2026_challenge_track1_tpu.data import AudioDataModule
+    from urgent2026_challenge_track1_tpu.train.trainer import Trainer
+
+    def record(dm, log):
+        orig = dm.train_dataloader
+
+        def wrapped(*a, **kw):
+            for batch in orig(*a, **kw):
+                log.append(float(np.sum(np.asarray(batch[0]))))
+                yield batch
+
+        dm.train_dataloader = wrapped
+        return dm
+
+    # uninterrupted run: 4 batches, ckpt at step 2 (mid-epoch)
+    cfg = _cfg(toy_dirs, tmp_path, val_check_interval=2, train_tag="resume_a")
+    full_log = []
+    trainer = Trainer(cfg, record(AudioDataModule(cfg), full_log))
+    trainer.fit()
+    assert len(full_log) == 4
+
+    # resumed run from the mid-epoch checkpoint (step 2) sees exactly
+    # batches 3, 4
+    cfg2 = _cfg(toy_dirs, tmp_path, val_check_interval=2, train_tag="resume_a")
+    resumed_log = []
+    trainer2 = Trainer(cfg2, record(AudioDataModule(cfg2), resumed_log))
+    restored, _ = trainer2.ckpt.restore(2, trainer2.init_state())
+    assert restored.step == 2 and restored.batch_in_epoch == 2
+    trainer2.fit(trainer2._place(restored))
+    assert resumed_log == full_log[2:]
 
 
 def test_flow_fit_updates_ema(toy_dirs, tmp_path, monkeypatch):

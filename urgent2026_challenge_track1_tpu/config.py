@@ -107,6 +107,10 @@ class Config:
             self.train_tag = os.path.basename(self.config_file).replace(".yaml", "")
         return self
 
+    def to_dict(self) -> dict:
+        """Public schema fields only (JSON-serializable config snapshot)."""
+        return {k: v for k, v in vars(self).items() if not k.startswith("_")}
+
     def __repr__(self):
         body = ",\n  ".join(
             f"{k}={v!r}" for k, v in sorted(vars(self).items()) if not k.startswith("_")

@@ -71,6 +71,8 @@ class PreSimulatedDataset:
         self.speech_length = {k: int(v) for k, v in read_kv_scp(speech_length).items()}
         self.uid = list(self.clean_speech.keys())
         self.max_duration = max_duration
+        self.epoch = 0  # set per epoch; crops are keyed by (uid, epoch) so a
+        #                 mid-epoch resume reproduces the same crops
         assert len(self.clean_speech) == len(self.noisy_speech)
         assert len(self.clean_speech) == len(self.utt2fs)
         assert len(self.clean_speech) == len(self.speech_length)
@@ -93,10 +95,14 @@ class PreSimulatedDataset:
         noisy, nfs = read_audio(self.noisy_speech[uid])
         assert nfs == self.utt2fs[uid]
         if 0 < self.max_duration < audio.shape[1]:
-            start = random.randint(0, audio.shape[1] - self.max_duration)
+            rng = random.Random(f"{uid}:{self.epoch}")
+            start = rng.randint(0, audio.shape[1] - self.max_duration)
             audio = audio[:, start : start + self.max_duration]
             noisy = noisy[:, start : start + self.max_duration]
         return audio, noisy, fs, audio.shape[1]
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
 
 
 class GroupedBatchSampler:
@@ -297,6 +303,23 @@ class PrefetchLoader:
             stop.set()
 
 
+class _SkipSampler:
+    """Skips the first ``skip`` index-batches of a deterministic sampler
+    (mid-epoch resume fast-forward; skipping costs nothing but the RNG)."""
+
+    def __init__(self, sampler, skip: int):
+        self.sampler = sampler
+        self.skip = skip
+
+    def __iter__(self):
+        import itertools
+
+        return itertools.islice(iter(self.sampler), self.skip, None)
+
+    def __len__(self):
+        return max(0, len(self.sampler) - self.skip)
+
+
 class AudioDataModule:
     """Builds train/val datasets + loaders from a Config (reference
     ``dataset.py:444-524``; dynamic-mixing branch wired in data/dynamic.py)."""
@@ -356,7 +379,14 @@ class AudioDataModule:
             speech_length=f"{self.valid_dir}/speech_length.scp",
         )
 
-    def train_dataloader(self, rank: int = 0, world_size: int = 1, epoch: int = 0):
+    def train_dataloader(
+        self, rank: int = 0, world_size: int = 1, epoch: int = 0,
+        skip_batches: int = 0,
+    ):
+        """``skip_batches`` fast-forwards the (deterministic, epoch-seeded)
+        sampler on mid-epoch resume without paying the data-production cost
+        of the skipped items (Lightning loop-state restore semantics,
+        reference train_se.py:67-72)."""
         sampler = GroupedBatchSampler(
             self.train_dataset,
             batch_size=self.batch_size,
@@ -365,7 +395,11 @@ class AudioDataModule:
             drop_last=True,
         )
         sampler.set_epoch(epoch)
+        if hasattr(self.train_dataset, "set_epoch"):
+            self.train_dataset.set_epoch(epoch)
         self.train_batch_sampler = sampler
+        if skip_batches:
+            sampler = _SkipSampler(sampler, skip_batches)
         import os
 
         # dynamic mixing is CPU-bound numpy -> processes, but only when the

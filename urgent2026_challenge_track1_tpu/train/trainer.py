@@ -154,6 +154,7 @@ class TrainState:
     ema_params: Any  # flow only (None otherwise)
     step: int
     epoch: int
+    batch_in_epoch: int = 0  # loader position for mid-epoch resume
 
 
 def _weighted_grad_norm(grads):
@@ -259,6 +260,7 @@ class CheckpointIO:
             "opt_state": state.opt_state,
             "step": state.step,
             "epoch": state.epoch,
+            "batch_in_epoch": state.batch_in_epoch,
         }
         if state.ema_params is not None:
             payload["ema"] = state.ema_params
@@ -283,6 +285,7 @@ class CheckpointIO:
             "opt_state": template_state.opt_state,
             "step": 0,
             "epoch": 0,
+            "batch_in_epoch": 0,
         }
         if template_state.ema_params is not None:
             payload["ema"] = template_state.ema_params
@@ -300,6 +303,7 @@ class CheckpointIO:
             ema_params=st.get("ema"),
             step=int(st["step"]),
             epoch=int(st["epoch"]),
+            batch_in_epoch=int(st.get("batch_in_epoch", 0)),
         )
         return state, restored["meta"]
 
@@ -406,6 +410,7 @@ class Trainer:
             put(state.ema_params) if state.ema_params is not None else None,
             state.step,
             state.epoch,
+            state.batch_in_epoch,
         )
 
     def maybe_resume(self, state: TrainState) -> TrainState:
@@ -473,12 +478,18 @@ class Trainer:
         cfg = self.cfg
         state = state if state is not None else self.maybe_resume(self.init_state())
         rank, world = jax.process_index(), jax.process_count()
-        key = jax.random.PRNGKey(cfg.seed + 1)
+        # per-step keys are derived from the step counter so a mid-epoch
+        # resume reproduces the uninterrupted run's randomness exactly
+        base_key = jax.random.PRNGKey(cfg.seed + 1)
         profiling = False
         for epoch in range(state.epoch, cfg.num_train_epochs):
+            state.epoch = epoch
             lr = self._set_lr(state, epoch)
             self.logger.log(state.step, {"lr": lr, "epoch": epoch})
-            loader = self.dm.train_dataloader(rank=rank, world_size=world, epoch=epoch)
+            loader = self.dm.train_dataloader(
+                rank=rank, world_size=world, epoch=epoch,
+                skip_batches=state.batch_in_epoch,
+            )
             for batch_item in loader:
                 if isinstance(batch_item, dict):
                     # on-device dynamic mixing: render the augmentation batch
@@ -510,11 +521,12 @@ class Trainer:
                     batch = (target_dev, noisy_dev)
                 else:
                     batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(base_key, state.step)
                 state.params, state.opt_state, state.ema_params, metrics = step_fn(
                     state.params, state.opt_state, state.ema_params, sub, *batch
                 )
                 state.step += 1
+                state.batch_in_epoch += 1
                 if state.step % cfg.log_every_steps == 0:
                     logd = {f"train_{k}": float(v) for k, v in metrics.items()}
                     logd["step_time"] = time.time() - t0
@@ -523,6 +535,7 @@ class Trainer:
                 if state.step % cfg.val_check_interval == 0:
                     vm = self.validate(state)
                     self.logger.log(state.step, vm)
-                    self.ckpt.save(state.step, state, vm["val_loss"], vars(cfg))
+                    self.ckpt.save(state.step, state, vm["val_loss"], cfg.to_dict())
             state.epoch = epoch + 1
+            state.batch_in_epoch = 0
         return state
