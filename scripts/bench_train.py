@@ -28,11 +28,12 @@ from urgent2026_challenge_track1_tpu.train.trainer import (
 def main():
     dtype = sys.argv[1] if len(sys.argv) > 1 else "float32"
     use_pallas = (sys.argv[2].lower() in ("pallas", "true", "1")) if len(sys.argv) > 2 else False
+    remat = (sys.argv[3].lower() not in ("noremat", "false", "0")) if len(sys.argv) > 3 else True
     cfg = Config(batch_size=4)
     bundle = ModelBundle(
         "discriminative",
         M.BSRNNConfig(input_dim=481, num_channel=196, num_layer=6, causal=False,
-                      compute_dtype=dtype, use_pallas_lstm=use_pallas),
+                      compute_dtype=dtype, use_pallas_lstm=use_pallas, remat=remat),
         STFTConfig(n_fft=960, hop_length=480),
     )
     fs, T, B = 48000, 96000, 4
@@ -59,7 +60,7 @@ def main():
     dt = (time.perf_counter() - t0) / n
     audio_s = B * T / fs
     print(
-        f"train step ({dtype}, pallas={use_pallas}): {dt*1e3:.1f} ms  ({1/dt:.2f} steps/s, "
+        f"train step ({dtype}, pallas={use_pallas}, remat={remat}): {dt*1e3:.1f} ms  ({1/dt:.2f} steps/s, "
         f"{audio_s/dt:.1f} audio-s/s, loss={float(m['loss']):.4f}, "
         f"grad_norm={float(m['grad_norm']):.4f})",
         flush=True,

@@ -179,6 +179,14 @@ def _bidir_forward(proj, w_f, w_b, b_block, interpret):
         jax.ShapeDtypeStruct((T, B, H), dtype),
         jax.ShapeDtypeStruct((T, B, H), dtype),
     )
+    # both weight blocks stay resident; lift the default 16 MB scoped-vmem
+    # cap so large-H configs (flowse H=768: 2 x 4.7 MB bf16 weights, double
+    # buffered) compile
+    params_kw = {}
+    if not interpret:
+        params_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     if b_block <= 0 or b_block >= B:
         fidx = lambda i: (i, 0, 0)
         ridx = lambda i: (T - 1 - i, 0, 0)
@@ -198,6 +206,7 @@ def _bidir_forward(proj, w_f, w_b, b_block, interpret):
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32) for _ in range(4)],
             interpret=interpret,
+            **params_kw,
         )(xpf, xpb, w_f.astype(dtype), w_b.astype(dtype))
     assert B % b_block == 0, (B, b_block)
     nb = B // b_block
@@ -219,7 +228,182 @@ def _bidir_forward(proj, w_f, w_b, b_block, interpret):
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((b_block, H), jnp.float32) for _ in range(4)],
         interpret=interpret,
+        **params_kw,
     )(xpf, xpb, w_f.astype(dtype), w_b.astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# Fused-input bidirectional kernel: streams the RAW inputs (N wide) and does
+# BOTH matmuls (x@W_ih + h@W_hh) per step with all four weight blocks
+# resident in VMEM.  vs. the hoisted-projection kernel this cuts the HBM
+# stream per step from 4H to N floats per row (8x for the flow model), which
+# is the binding resource at batch >= 4 — MXU utilisation is low either way.
+# ---------------------------------------------------------------------------
+
+
+def _fusedin_step(x_ref, wi_ref, wh_ref, b_ref, out_ref, h_s, c_s):
+    gates = (
+        jnp.dot(x_ref[0], wi_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h_s[:].astype(x_ref.dtype), wh_ref[:],
+                  preferred_element_type=jnp.float32)
+        + b_ref[0].astype(jnp.float32)
+    )
+    H = h_s.shape[-1]
+    i_g = jax.nn.sigmoid(gates[:, :H])
+    f_g = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g_g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o_g = jax.nn.sigmoid(gates[:, 3 * H :])
+    c = f_g * c_s[:] + i_g * g_g
+    h = o_g * jnp.tanh(c)
+    c_s[:] = c
+    h_s[:] = h
+    out_ref[0] = h.astype(out_ref.dtype)
+
+
+def _fusedin_bidir_kernel(xf_ref, xb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
+                          bf_ref, bb_ref, outf_ref, outb_ref, hf, cf, hb, cb):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for s in (hf, cf, hb, cb):
+            s[:] = jnp.zeros_like(s)
+
+    _fusedin_step(xf_ref, wif_ref, whf_ref, bf_ref, outf_ref, hf, cf)
+    _fusedin_step(xb_ref, wib_ref, whb_ref, bb_ref, outb_ref, hb, cb)
+
+
+def _fusedin_bidir_kernel_blocked(xf_ref, xb_ref, wif_ref, wib_ref, whf_ref,
+                                  whb_ref, bf_ref, bb_ref, outf_ref, outb_ref,
+                                  hf, cf, hb, cb):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for s in (hf, cf, hb, cb):
+            s[:] = jnp.zeros_like(s)
+
+    _fusedin_step(xf_ref, wif_ref, whf_ref, bf_ref, outf_ref, hf, cf)
+    _fusedin_step(xb_ref, wib_ref, whb_ref, bb_ref, outb_ref, hb, cb)
+
+
+def _fusedin_forward(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b, b_block,
+                     interpret):
+    """x (B, T, N) raw input; w_ih_* (N, 4H); w_hh_* (H, 4H); b_* (1, 4H).
+    Returns (out_f, out_b) time-major (T, B, H)."""
+    B, T, N = x.shape
+    fourH = w_ih_f.shape[1]
+    H = fourH // 4
+    dtype = x.dtype
+    xs = jnp.swapaxes(x, 0, 1)  # (T, B, N)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, B, H), dtype),
+        jax.ShapeDtypeStruct((T, B, H), dtype),
+    )
+    params_kw = {}
+    if not interpret:
+        params_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    weights = (
+        w_ih_f.astype(dtype), w_ih_b.astype(dtype),
+        w_hh_f.astype(dtype), w_hh_b.astype(dtype),
+        b_f.astype(dtype), b_b.astype(dtype),
+    )
+    if b_block <= 0 or b_block >= B:
+        fidx = lambda i: (i, 0, 0)
+        ridx = lambda i: (T - 1 - i, 0, 0)
+        const = lambda i: (0, 0)
+        return pl.pallas_call(
+            _fusedin_bidir_kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, N), fidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, N), ridx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, fourH), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, fourH), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, fourH), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, fourH), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, fourH), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, fourH), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, B, H), fidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, H), ridx, memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32) for _ in range(4)],
+            interpret=interpret,
+            **params_kw,
+        )(xs, xs, *weights)
+    assert B % b_block == 0, (B, b_block)
+    nb = B // b_block
+    fidx = lambda b, t: (t, b, 0)
+    ridx = lambda b, t: (T - 1 - t, b, 0)
+    const = lambda b, t: (0, 0)
+    return pl.pallas_call(
+        _fusedin_bidir_kernel_blocked,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, b_block, N), fidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_block, N), ridx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, fourH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, fourH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, fourH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, fourH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fourH), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fourH), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_block, H), fidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_block, H), ridx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((b_block, H), jnp.float32) for _ in range(4)],
+        interpret=interpret,
+        **params_kw,
+    )(xs, xs, *weights)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def lstm_pallas_bidir_fusedin(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b,
+                              b_block=0, interpret=False):
+    """Bidirectional LSTM streaming raw inputs; returns (B, T, 2H).
+    Differentiable: the VJP hoists the input projection into XLA and reuses
+    the residual-storing per-direction kernels, so training numerics match
+    lstm_pallas_train exactly."""
+    out_f, out_b = _fusedin_forward(
+        x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b, b_block, interpret
+    )
+    return jnp.concatenate(
+        [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1
+    )
+
+
+def _fusedin_fwd(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b, b_block, interpret):
+    dtype = x.dtype
+    proj_f = x @ w_ih_f.astype(dtype) + b_f.astype(dtype)
+    proj_b = x @ w_ih_b.astype(dtype) + b_b.astype(dtype)
+    out_f, gates_f, c_f = _train_forward(proj_f, w_hh_f, False, b_block, interpret)
+    out_b, gates_b, c_b = _train_forward(proj_b, w_hh_b, True, b_block, interpret)
+    out = jnp.concatenate(
+        [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1
+    )
+    return out, (x, (out_f, gates_f, c_f, w_hh_f), (out_b, gates_b, c_b, w_hh_b),
+                 (w_ih_f, w_ih_b))
+
+
+def _fusedin_bwd(b_block, interpret, res, g_out):
+    x, res_f, res_b, (w_ih_f, w_ih_b) = res
+    H = res_f[0].shape[-1]
+    dxp_f, dw_hh_f = _lstm_train_bwd(False, b_block, interpret, res_f, g_out[..., :H])
+    dxp_b, dw_hh_b = _lstm_train_bwd(True, b_block, interpret, res_b, g_out[..., H:])
+    # input-projection VJP in XLA (big dense matmuls)
+    dx = dxp_f @ w_ih_f.T.astype(dxp_f.dtype) + dxp_b @ w_ih_b.T.astype(dxp_b.dtype)
+    d_wih_f = jnp.einsum("btn,btg->ng", x, dxp_f).astype(w_ih_f.dtype)
+    d_wih_b = jnp.einsum("btn,btg->ng", x, dxp_b).astype(w_ih_b.dtype)
+    db_f = jnp.sum(dxp_f, axis=(0, 1))[None].astype(w_ih_f.dtype)
+    db_b = jnp.sum(dxp_b, axis=(0, 1))[None].astype(w_ih_b.dtype)
+    return dx, d_wih_f, d_wih_b, dw_hh_f, dw_hh_b, db_f, db_b
+
+
+lstm_pallas_bidir_fusedin.defvjp(_fusedin_fwd, _fusedin_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -519,36 +703,39 @@ def _bilstm_blocking(B: int, dtype):
     sublane = 16 if dtype == jnp.bfloat16 else 8
     if B <= 512:
         return 0, (-B) % sublane
-    # fixed 256-row blocks: 2x128 MXU passes per step.  Minimal-padding
-    # variants (e.g. 3x272 for B=804) looked equal in isolation but measured
-    # consistently slower inside the full train step (123 vs 156 ms), so the
-    # padding waste is accepted.
-    return 256, (-B) % 256
+    # ~256-288-row blocks rounded to 16 sublanes, sized to minimise padding:
+    # same-process A/B at the flagship geometry (B=544, T=401, H=384) gives
+    # 9.0 ms for 2x272 vs 12.3 ms for 3x256 (pad to 768) vs 15.9 ms for
+    # 2x512 — padding waste dominates block-size effects.
+    nb = -(-B // 288)
+    b_block = -(-(-(-B // nb)) // 16) * 16
+    return b_block, nb * b_block - B
 
 
 def bilstm_pallas(params, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Differentiable bidirectional LSTM on the Pallas kernels.
 
-    The hoisted input projection stays in XLA (its VJP is two dense matmuls
-    the compiler schedules well); only the sequential recurrence runs in
-    Pallas, forward and backward.  Pads the batch to the dtype's sublane
-    multiple; large batches (the band LSTM) are grid-blocked so each step
-    fits scoped VMEM.  Under differentiation the forward streams (gates, c)
-    residuals to HBM; the plain forward runs the lean kernel."""
+    Inference: the fused-input kernel streams the raw (B, T, N) input once
+    and performs both per-step matmuls (x@W_ih + h@W_hh, both directions)
+    with the weights resident in VMEM — the HBM stream per step shrinks
+    from 2x4H to 2xN floats per row.  Under differentiation the custom VJP
+    hoists the input projection into XLA and uses the residual-storing
+    per-direction kernels (training numerics identical to the scan path).
+    Pads the batch to the dtype's sublane multiple; large batches (the band
+    LSTM) are grid-blocked so each step fits scoped VMEM."""
     B, T, _ = x.shape
     dtype = x.dtype
     b_block, pad = _bilstm_blocking(B, dtype)
-    w_ih = jnp.concatenate([params["w_ih"], params["w_ih_reverse"]], axis=0)
-    b = jnp.concatenate(
-        [params["b_ih"] + params["b_hh"], params["b_ih_reverse"] + params["b_hh_reverse"]]
-    )
-    proj = x @ w_ih.T.astype(dtype) + b.astype(dtype)  # (B, T, 8H)
     if pad:
-        proj = jnp.pad(proj, ((0, pad), (0, 0), (0, 0)))
-    out = lstm_pallas_bidir(
-        proj,
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    out = lstm_pallas_bidir_fusedin(
+        x,
+        params["w_ih"].T.astype(dtype),
+        params["w_ih_reverse"].T.astype(dtype),
         params["w_hh"].T.astype(dtype),
         params["w_hh_reverse"].T.astype(dtype),
+        (params["b_ih"] + params["b_hh"])[None],
+        (params["b_ih_reverse"] + params["b_hh_reverse"])[None],
         b_block,
         interpret,
     )
