@@ -27,6 +27,18 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["lstm_scan_pallas", "bilstm_pallas", "lstm_pallas_train", "bilstm_pallas_train"]
 
 
+def _vmem_params(interpret: bool) -> dict:
+    """Raise the default 16 MB scoped-VMEM cap for the resident-weight
+    kernels (flowse H=768 needs ~19 MB with double buffering); no-op in
+    interpret mode (the CPU interpreter rejects TPU compiler params)."""
+    if interpret:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    }
+
+
+
 def _body(xp_ref, whh_ref, out_ref, h_ref, c_ref, is_first):
     @pl.when(is_first)
     def _():
@@ -90,6 +102,7 @@ def lstm_scan_pallas(
                 pltpu.VMEM((B, H), jnp.float32),
             ],
             interpret=interpret,
+            **_vmem_params(interpret),
         )(xs, w_hh_t.astype(dtype))
         return jnp.swapaxes(out, 0, 1)  # (B, T, H)
 
@@ -116,6 +129,7 @@ def lstm_scan_pallas(
             pltpu.VMEM((b_block, H), jnp.float32),
         ],
         interpret=interpret,
+        **_vmem_params(interpret),
     )(xs, w_hh_t.astype(dtype))
     return jnp.swapaxes(out, 0, 1)
 
@@ -179,14 +193,7 @@ def _bidir_forward(proj, w_f, w_b, b_block, interpret):
         jax.ShapeDtypeStruct((T, B, H), dtype),
         jax.ShapeDtypeStruct((T, B, H), dtype),
     )
-    # both weight blocks stay resident; lift the default 16 MB scoped-vmem
-    # cap so large-H configs (flowse H=768: 2 x 4.7 MB bf16 weights, double
-    # buffered) compile
-    params_kw = {}
-    if not interpret:
-        params_kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
+    params_kw = _vmem_params(interpret)
     if b_block <= 0 or b_block >= B:
         fidx = lambda i: (i, 0, 0)
         ridx = lambda i: (T - 1 - i, 0, 0)
@@ -296,11 +303,7 @@ def _fusedin_forward(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b, b_block,
         jax.ShapeDtypeStruct((T, B, H), dtype),
         jax.ShapeDtypeStruct((T, B, H), dtype),
     )
-    params_kw = {}
-    if not interpret:
-        params_kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
+    params_kw = _vmem_params(interpret)
     weights = (
         w_ih_f.astype(dtype), w_ih_b.astype(dtype),
         w_hh_f.astype(dtype), w_hh_b.astype(dtype),
@@ -567,6 +570,7 @@ def _train_forward(x_proj, w_hh_t, reverse, b_block, interpret):
                 pltpu.VMEM((B, H), jnp.float32),
             ],
             interpret=interpret,
+            **_vmem_params(interpret),
         )(xs, w_hh_t.astype(dtype))
         return out, gates, c
 
@@ -594,6 +598,7 @@ def _train_forward(x_proj, w_hh_t, reverse, b_block, interpret):
             pltpu.VMEM((b_block, H), jnp.float32),
         ],
         interpret=interpret,
+        **_vmem_params(interpret),
     )(xs, w_hh_t.astype(dtype))
     return out, gates, c
 
@@ -661,6 +666,7 @@ def _lstm_train_bwd(reverse, b_block, interpret, res, g_out):
                 pltpu.VMEM((B, H), jnp.float32),
             ],
             interpret=interpret,
+            **_vmem_params(interpret),
         )(gates, c_prev, h_prev, douts, w4h)
     else:
         nb = B // b_block
@@ -688,6 +694,7 @@ def _lstm_train_bwd(reverse, b_block, interpret, res, g_out):
                 pltpu.VMEM((b_block, H), jnp.float32),
             ],
             interpret=interpret,
+            **_vmem_params(interpret),
         )(gates, c_prev, h_prev, douts, w4h)
     return jnp.swapaxes(dxp, 0, 1), dw.astype(w_hh_t.dtype)
 
