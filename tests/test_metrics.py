@@ -82,6 +82,26 @@ def test_pesq_known_maxima_and_invariances(speech_like):
     assert pesq_metric(xs, delayed, fs) == pytest.approx(4.6439, abs=0.02)
 
 
+def test_pesq_variable_delay_recovered(speech_like):
+    """A delay that CHANGES between utterances must be absorbed by the
+    per-utterance alignment chain (P.862 utterance_locate/time_align); only
+    the discontinuity region may cost score."""
+    x, fs = speech_like
+    x = x.copy()
+    gap = slice(int(1.4 * fs), int(1.6 * fs))
+    x[gap] = 0.0
+    x[-int(0.3 * fs):] = 0.0
+    d1, d2 = int(0.020 * fs), int(0.045 * fs)
+    half = int(1.5 * fs)
+    deg = np.zeros_like(x)
+    deg[d1:half] = x[: half - d1]
+    deg[half + d2 :] = x[half:-d2]
+    score = pesq_metric(x, deg, fs)
+    # global-delay-only alignment would misalign one whole half (score ~2);
+    # per-utterance alignment keeps it near clean
+    assert score > 4.0, score
+
+
 def test_pesq_golden_regression(speech_like):
     """Self-golden vectors pinning the calibrated implementation (generated
     once from this module; guards against silent numeric drift — NOT an ITU

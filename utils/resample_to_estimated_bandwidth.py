@@ -29,7 +29,9 @@ def resample_one(item, max_files_per_dir, num_digits, outdir):
     else:
         est_fs = sampling_rates[-1]
     subdir = f"{idx // max_files_per_dir:0{num_digits}x}"
-    outfile = Path(outdir) / subdir / (uid + ".wav")
+    # .flac like the reference (resample_to_estimated_bandwidth.py:59-61);
+    # audio_io dispatches to the native FLAC encoder on this extension
+    outfile = Path(outdir) / subdir / (uid + ".flac")
     if outfile.exists():
         return uid, outfile, est_fs
     outfile.parent.mkdir(parents=True, exist_ok=True)
