@@ -53,11 +53,15 @@ def main():
 
     # warmup / compile
     fn(params, wav).block_until_ready()
-    n_iter = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
+    fn(params, wav).block_until_ready()
+    # median of per-iteration timings: the remote-TPU tunnel occasionally
+    # stalls a single dispatch, which a mean over few iters would absorb
+    times = []
+    for _ in range(9):
+        t0 = time.perf_counter()
         fn(params, wav).block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     audio_seconds = B * seconds
     rtf = audio_seconds / dt
     print(
