@@ -79,6 +79,17 @@ struct BitReader {
     }
 };
 
+uint16_t crc16(const uint8_t* data, int64_t n) {  // CRC-16/BUYPASS, poly 0x8005
+    uint16_t c = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        c ^= (uint16_t)(data[i] << 8);
+        for (int b = 0; b < 8; ++b)
+            c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
+    }
+    return c;
+}
+
+
 // frame-header UTF-8-style coded number (up to 36 bits / 7 bytes)
 uint64_t read_utf8(BitReader& br) {
     uint64_t b0 = br.read(8);
@@ -134,6 +145,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) {
     int type = (int)br.read(6);
     int wasted = 0;
     if (br.read(1)) wasted = 1 + (int)br.read_unary();
+    if (wasted > 32) return false;  // malformed: shift would be UB
     bps -= wasted;
     if (bps <= 0 || bps > 33) return false;
 
@@ -247,7 +259,8 @@ int flac_decode(const uint8_t* buf, int64_t n, int32_t* out,
     static thread_local int64_t chan_cap = 0;
 
     while (br.pos < n && !br.error) {
-        // frame header
+        // frame header (byte-aligned)
+        int64_t frame_start = br.pos;
         if ((uint32_t)br.read(14) != 0x3FFE) break;  // sync
         br.read(1);                                  // reserved
         br.read(1);                                  // blocking strategy
@@ -299,8 +312,10 @@ int flac_decode(const uint8_t* buf, int64_t n, int32_t* out,
             if (!decode_subframe(br, blocksize, sub_bps, chan[c])) return -4;
         }
         br.align();
-        br.read(16);  // frame CRC-16 (not verified)
+        uint16_t want = crc16(buf + frame_start, br.pos - frame_start);
+        uint16_t got = (uint16_t)br.read(16);
         if (br.error) break;
+        if (got != want) return -6;  // frame CRC-16 mismatch (corrupt data)
 
         // stereo decorrelation
         if (ch_asgn == 8) {  // left/side: R = L - S

@@ -67,6 +67,33 @@ def test_audio_io_dispatch(tmp_path):
     assert data.shape == (1, 8192) and fs_ra == fs
 
 
+def test_malformed_input_raises_not_crashes():
+    """The decoder runs on untrusted corpus files; corrupted/garbage input
+    must raise cleanly (native path especially — no UB/segfault)."""
+    rng = np.random.default_rng(0)
+    x = _tone(8192, 16000)
+    good = bytearray(flac.encode(x, 16000, bits=16))
+    cases = [b"", b"fLa", b"fLaC" + b"\x00" * 10]
+    # random garbage with a valid magic
+    cases.append(b"fLaC" + bytes(rng.integers(0, 256, 256, dtype=np.uint8)))
+    # bit-flip corruption inside frames of a valid stream
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        bad = bytearray(good)
+        for pos in r.integers(60, len(bad), 20):
+            bad[pos] ^= 1 << int(r.integers(0, 8))
+        cases.append(bytes(bad))
+    for buf in cases:
+        try:
+            flac.decode(bytes(buf))
+        except (ValueError, EOFError, IndexError):
+            pass  # clean failure is fine; crashing the process is not
+        try:
+            flac._decode_py(bytes(buf))
+        except Exception:
+            pass
+
+
 def test_lpc_and_rice_escape_paths_decode():
     """Hand-built stream exercising LPC subframes + verbatim residual escape
     is out of scope for the encoder; instead force high-entropy content so
