@@ -22,7 +22,9 @@ from urgent2026_challenge_track1_tpu.ops.pallas_lstm import bilstm_pallas
 
 
 def check(tag, B, T, I, H, dtype):
-    key = jax.random.PRNGKey(hash(tag) % 2**31)
+    import zlib
+
+    key = jax.random.PRNGKey(zlib.crc32(tag.encode()) % 2**31)  # stable seed
     params = lstm_ops.init_lstm(key, I, H, bidirectional=True)
     if dtype == jnp.bfloat16:
         atol_f, atol_g = 5e-2, 5e-2

@@ -67,6 +67,23 @@ def test_audio_io_dispatch(tmp_path):
     assert data.shape == (1, 8192) and fs_ra == fs
 
 
+@pytest.mark.skipif(not flac.native_available(), reason="no g++ toolchain")
+def test_unknown_total_samples_decodes_fully():
+    """STREAMINFO total_samples == 0 (streamed/piped encodes) must not
+    truncate: the native path grows its capacity until the stream is
+    exhausted."""
+    fs = 16000
+    x = _tone(fs * 10, fs)
+    buf = bytearray(flac.encode(x, fs, bits=16))
+    buf[21] &= 0xF0  # zero the 36-bit total_samples field
+    for i in range(22, 26):
+        buf[i] = 0
+    assert flac.probe(bytes(buf))[0] == 0
+    y, fs_out = flac.decode(bytes(buf))
+    assert fs_out == fs and len(y) == len(x)
+    np.testing.assert_allclose(y, np.clip(x, -1, 32767 / 32768), atol=1.1 / 32768)
+
+
 def test_malformed_input_raises_not_crashes():
     """The decoder runs on untrusted corpus files; corrupted/garbage input
     must raise cleanly (native path especially — no UB/segfault)."""

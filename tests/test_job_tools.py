@@ -61,8 +61,29 @@ def test_run_jobs_slurm_render(tmp_path):
     assert "--job-name score" in submit
     assert "--array=1-10%8" in submit
     assert "-o " in submit and "score.%a.log" in submit
+    # 'default gpu=0' has no option rule in conf/slurm.conf -> emits NOTHING
+    # (sbatch has no --gpu flag; an invalid passthrough would kill the submit)
+    assert "--gpu" not in submit
     # the batch script substitutes the scheduler task id for JOB
-    assert "--job ${SLURM_ARRAY_TASK_ID}" in script
+    assert '--job "${SLURM_ARRAY_TASK_ID}"' in script
+
+
+def test_run_jobs_slurm_quoted_tokens_keep_taskid_expandable(tmp_path):
+    """Tokens needing shell quoting must still expand the task-id variable
+    (single quotes would freeze it to a literal)."""
+    run_jobs = _load("run_jobs")
+    import contextlib
+    import io
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        run_jobs.main([
+            "--backend", "slurm", "--config", str(REPO / "conf" / "slurm.conf"),
+            "--print", "JOB=1:2", str(tmp_path / "x.JOB.log"),
+            "bash", "-c", "gunzip -c exp/JOB.gz | wc -l",
+        ])
+    _, script = out.getvalue().split("---")
+    assert '"gunzip -c exp/${SLURM_ARRAY_TASK_ID}.gz | wc -l"' in script
 
 
 def test_run_jobs_sge_render(tmp_path):
@@ -82,6 +103,10 @@ def test_run_jobs_sge_render(tmp_path):
     assert submit.startswith("qsub")
     assert "-t 1-4" in submit
     assert "${SGE_TASK_ID}" in script
+    # slurm-flavored config falls back to the built-in SGE mapping: no
+    # sbatch-only flags may leak into the qsub line
+    assert "--job-name" not in submit and "--mem-per-cpu" not in submit
+    assert "-N " in submit
 
 
 def test_filter_scps_split(tmp_path):

@@ -60,6 +60,9 @@ def test_cli_reaches_backend_gate(scps, tmp_path, script, needs_ref, needs_meta,
     if needs_meta:
         cmd += ["--meta_tsv", str(scps / "meta.tsv")]
     cmd += [a.replace("UTT2LANG", str(scps / "utt2lang")) for a in extra]
+    # deliberate deviation from the repo PYTHONPATH rule: /root/.axon_site is
+    # EXCLUDED so the axon sitecustomize never pins the TPU backend — these
+    # smoke tests must exercise genuine CPU-only behavior in the children
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO),
                        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
                             "PYTHONPATH": str(REPO)})

@@ -95,15 +95,10 @@ def _fft_filter(x: np.ndarray, fs: int, curve: np.ndarray) -> np.ndarray:
 
 
 def _iir_biquad(x: np.ndarray, sos) -> np.ndarray:
+    from scipy.signal import lfilter
+
     b0, b1, b2, a1, a2 = sos
-    y = np.empty_like(x)
-    x1 = x2 = y1 = y2 = 0.0
-    for i in range(len(x)):
-        v = b0 * x[i] + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
-        x2, x1 = x1, x[i]
-        y2, y1 = y1, v
-        y[i] = v
-    return y
+    return lfilter([b0, b1, b2], [1.0, a1, a2], x)
 
 
 def _band_power(x: np.ndarray, fs: int, start: int, end: int) -> float:

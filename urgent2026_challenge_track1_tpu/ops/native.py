@@ -32,11 +32,14 @@ def _load():
         so = os.path.abspath(os.path.join(_CSRC, "libdsp_native.so"))
         try:
             if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                # temp + atomic rename: safe under concurrent first use
+                tmp = f"{so}.{os.getpid()}.tmp"
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                     check=True,
                     capture_output=True,
                 )
+                os.replace(tmp, so)
             lib = ctypes.CDLL(so)
             lib.sidechain_compress.argtypes = [
                 ctypes.POINTER(ctypes.c_double),

@@ -45,11 +45,16 @@ def _load():
         so = os.path.abspath(os.path.join(_CSRC, "libflac_native.so"))
         try:
             if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                # compile to a pid-suffixed temp + atomic rename: concurrent
+                # processes (metric-CLI job arrays) must never dlopen a
+                # half-written .so
+                tmp = f"{so}.{os.getpid()}.tmp"
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                     check=True,
                     capture_output=True,
                 )
+                os.replace(tmp, so)
             lib = ctypes.CDLL(so)
             u8p = ctypes.POINTER(ctypes.c_uint8)
             i64p = ctypes.POINTER(ctypes.c_int64)
@@ -103,19 +108,26 @@ def decode(buf: bytes) -> tuple[np.ndarray, int]:
     total, fs, ch, bps = probe(buf)
     lib = _load()
     if lib is not None:
-        cap = total if total > 0 else (len(buf) * 8 // max(bps, 1) // ch + 65536)
-        out = np.empty((cap, ch), np.int32)
-        done = ctypes.c_int64(0)
         arr = np.frombuffer(buf, np.uint8)
-        rc = lib.flac_decode(
-            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_int64(len(buf)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.c_int64(cap),
-            ctypes.byref(done),
-        )
-        if rc != 0:
-            raise ValueError(f"FLAC decode failed (native rc={rc})")
+        # unknown total_samples (STREAMINFO 0, e.g. piped encodes): start
+        # from a compressed-size guess and grow until the decoder does not
+        # hit the capacity ceiling
+        cap = total if total > 0 else (len(buf) * 8 // max(bps, 1) // ch + 65536)
+        while True:
+            out = np.empty((cap, ch), np.int32)
+            done = ctypes.c_int64(0)
+            rc = lib.flac_decode(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(len(buf)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(cap),
+                ctypes.byref(done),
+            )
+            if rc != 0:
+                raise ValueError(f"FLAC decode failed (native rc={rc})")
+            if total > 0 or done.value < cap:
+                break
+            cap *= 4
         samples = out[: done.value].astype(np.float64)
     else:
         samples = _decode_py(buf).astype(np.float64)

@@ -55,7 +55,13 @@ def parse_queue_conf(path):
 
 
 def map_options(cli_opts, options, defaults):
-    """CLI {name: value} -> scheduler flag string per the config mapping."""
+    """CLI {name: value} -> scheduler flag string per the config mapping.
+
+    Kaldi semantics: an exact-value rule wins; else the ``name=*`` rule with
+    $0 substituted; a value that matches NO rule emits nothing when it came
+    from ``default`` lines (e.g. ``default gpu=0`` with no ``option gpu=0``
+    means "add nothing"), and only explicitly-passed CLI options fall through
+    to a ``--name value`` passthrough."""
     merged = dict(defaults)
     merged.update(cli_opts)
     flags = []
@@ -64,14 +70,29 @@ def map_options(cli_opts, options, defaults):
             tmpl = options[(name, str(value))]
         elif (name, "*") in options:
             tmpl = options[(name, "*")]
-        else:
-            # unknown option: pass through as --name value (slurm.pl behavior
-            # for arbitrary recognized flags is config-gated; be permissive)
+        elif name in cli_opts:
             tmpl = f"--{name} $0"
+        else:
+            continue  # default with no mapping rule: emit nothing
         rendered = tmpl.replace("$0", str(value)).strip()
         if rendered:
             flags.append(rendered)
     return " ".join(flags)
+
+
+# built-in SGE mapping used when the config file is slurm-flavored (the
+# reference ships conf/slurm.conf only; queue.pl's own defaults are these)
+_SGE_COMMAND = "qsub -cwd -j y -S /bin/bash -V"
+_SGE_OPTIONS = {
+    ("name", "*"): "-N $0",
+    ("time", "*"): "-l h_rt=$0",
+    ("mem", "*"): "-l mem_free=$0,ram_free=$0",
+    ("mem", "0"): "",
+    ("num_threads", "*"): "-pe smp $0",
+    ("num_threads", "1"): "",
+    ("gpu", "0"): "",
+    ("gpu", "*"): "-l gpu=$0 -q g.q",
+}
 
 
 def build_array_submission(backend, command, flags, name, lo, hi, log, cmd_tokens,
@@ -92,8 +113,18 @@ def build_array_submission(backend, command, flags, name, lo, hi, log, cmd_token
             array += f" -tc {max_jobs_run}"
         out_flag = "-o"
     log_sched = log.replace(name, log_escape)
-    cmd = " ".join(shlex.quote(t) if t != name else t for t in cmd_tokens)
-    cmd = cmd.replace(name, task_var)
+
+    def quote_tok(t):
+        """Quote for the batch script while keeping the task-id variable
+        expandable: tokens containing JOB use double quotes (escaping the
+        shell-active chars) so ${...} still substitutes."""
+        if name not in t:
+            return shlex.quote(t)
+        esc = t.replace("\\", "\\\\").replace('"', '\\"').replace("$", "\\$")
+        esc = esc.replace("`", "\\`").replace(name, task_var)
+        return f'"{esc}"'
+
+    cmd = " ".join(quote_tok(t) for t in cmd_tokens)
     script = "\n".join([
         "#!/usr/bin/env bash",
         "set -e",
@@ -134,7 +165,10 @@ def main(argv=None):
     if args.backend in ("slurm", "sge"):
         command, options, defaults = parse_queue_conf(args.config)
         if args.backend == "sge" and command.startswith("sbatch"):
-            command = "qsub -cwd -j y -S /bin/bash"
+            # slurm-flavored config (the shipped conf/slurm.conf): its option
+            # templates are sbatch flags, so fall back to queue.pl's built-in
+            # SGE mapping instead of inheriting them
+            command, options = _SGE_COMMAND, dict(_SGE_OPTIONS)
         cli_opts = {
             k: v
             for k, v in (
