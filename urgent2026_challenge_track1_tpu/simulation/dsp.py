@@ -287,8 +287,12 @@ def packet_loss_apply(
 
 
 def codecs_available() -> bool:
-    """mp3/ogg codec augmentation needs ffmpeg or torchaudio+libavcodec."""
-    if shutil.which("ffmpeg"):
+    """mp3/ogg codec augmentation: native libavcodec shim, ffmpeg CLI, or
+    torchaudio — first available wins (utils/codec_av.py builds against the
+    system FFmpeg shared libraries, which this image has)."""
+    from urgent2026_challenge_track1_tpu.utils import codec_av
+
+    if codec_av.available() or shutil.which("ffmpeg"):
         return True
     try:
         from torchaudio.io import AudioEffector  # noqa: F401
@@ -299,12 +303,20 @@ def codecs_available() -> bool:
 
 
 def codec_compression(speech: np.ndarray, fs: int, format: str, encoder=None, qscale=None):
-    """Encode-decode distortion via ffmpeg CLI when present (renderer :296-330)."""
+    """Encode-decode distortion (renderer :296-330): native libavcodec shim
+    first, then ffmpeg CLI, then torchaudio.  ``speech`` is (C, T)."""
     import subprocess
     import tempfile
     import os
 
-    from urgent2026_challenge_track1_tpu.utils import audio_io
+    from urgent2026_challenge_track1_tpu.utils import audio_io, codec_av
+
+    if codec_av.available():
+        out = np.stack([codec_av.roundtrip(ch, fs, format, encoder, qscale) for ch in speech])
+        T = speech.shape[-1]
+        if out.shape[-1] < T:
+            out = np.pad(out, [(0, 0), (0, T - out.shape[-1])])
+        return out[:, :T]
 
     if not shutil.which("ffmpeg"):
         try:

@@ -192,9 +192,10 @@ def get_parser(parser=None):
     g.add_argument("--speech_text", type=str, nargs="+", default=None)
     g.add_argument("--log_dir", type=str)
     g.add_argument("--output_dir", type=str)
-    g.add_argument("--out_format", type=str, default="wav",
-                   help="Output audio format (reference default flac; wav here "
-                        "since no flac codec is available)")
+    g.add_argument("--out_format", type=str, default="flac",
+                   help="Output audio format (reference default, "
+                        "generate_data_param.py:503; native FLAC codec in "
+                        "utils/flac.py)")
     g.add_argument("--repeat_per_utt", type=int, default=1)
     g.add_argument("--seed", type=int, default=0)
     g = parser.add_argument_group(description="Additive noise related")

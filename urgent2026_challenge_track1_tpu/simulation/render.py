@@ -45,6 +45,51 @@ def read_audio(filename, force_1ch=False, fs=None, max_duration=-1, rng=None):
     return audio, fs_
 
 
+def apply_augmentations(noisy_speech, fs, augmentations):
+    """Apply a meta.tsv augmentation chain to (C, T) audio.
+
+    ``augmentations`` is the "/"-separated chain string or an already-split
+    list; wind_noise entries are skipped (they are consumed by the mixing
+    stage).  String formats match the reference encoder/decoder pair
+    (generate_data_param.py:326-408 / simulate_data_from_param.py:466-570).
+    """
+    if isinstance(augmentations, str):
+        augmentations = augmentations.split("/")
+    for augmentation in augmentations:
+        if augmentation in ("none", "") or augmentation.startswith("wind_noise"):
+            continue
+        if augmentation.startswith("bandwidth_limitation"):
+            match = re.fullmatch(r"bandwidth_limitation-(.*)->(\d+)", augmentation)
+            res_type, fs_new = match.groups()
+            noisy_speech = dsp.bandwidth_limitation(
+                noisy_speech, fs=fs, fs_new=int(fs_new), res_type=res_type
+            )
+        elif augmentation.startswith("clipping"):
+            match = re.fullmatch(r"clipping\(min=(.*),max=(.*)\)", augmentation)
+            min_, max_ = map(float, match.groups())
+            noisy_speech = dsp.clipping(noisy_speech, min_quantile=min_, max_quantile=max_)
+        elif augmentation.startswith("codec"):
+            match = re.fullmatch(
+                r"codec\(format=(.*),encoder=(.*),qscale=(.*)\)", augmentation
+            )
+            format, encoder, qscale = match.groups()
+            noisy_speech = dsp.codec_compression(
+                noisy_speech, fs, format=format, encoder=encoder, qscale=int(qscale)
+            )
+        elif augmentation.startswith("packet_loss"):
+            match = re.fullmatch(
+                r"packet_loss\(packet_loss_indices=(.*),packet_duration_ms=(.*)\)",
+                augmentation,
+            )
+            indices_, duration_ = match.groups()
+            noisy_speech = dsp.packet_loss_apply(
+                noisy_speech, fs, ast.literal_eval(indices_), int(duration_)
+            )
+        else:
+            raise NotImplementedError(augmentation)
+    return noisy_speech
+
+
 def render_one(
     info,
     force_1ch=True,
@@ -126,38 +171,7 @@ def render_one(
             noisy_speech, noise_sample, snr=snr, rng=rng
         )
 
-    for augmentation in augmentations:
-        if augmentation in ("none", "") or augmentation.startswith("wind_noise"):
-            continue
-        if augmentation.startswith("bandwidth_limitation"):
-            match = re.fullmatch(r"bandwidth_limitation-(.*)->(\d+)", augmentation)
-            res_type, fs_new = match.groups()
-            noisy_speech = dsp.bandwidth_limitation(
-                noisy_speech, fs=fs, fs_new=int(fs_new), res_type=res_type
-            )
-        elif augmentation.startswith("clipping"):
-            match = re.fullmatch(r"clipping\(min=(.*),max=(.*)\)", augmentation)
-            min_, max_ = map(float, match.groups())
-            noisy_speech = dsp.clipping(noisy_speech, min_quantile=min_, max_quantile=max_)
-        elif augmentation.startswith("codec"):
-            match = re.fullmatch(
-                r"codec\(format=(.*),encoder=(.*),qscale=(.*)\)", augmentation
-            )
-            format, encoder, qscale = match.groups()
-            noisy_speech = dsp.codec_compression(
-                noisy_speech, fs, format=format, encoder=encoder, qscale=int(qscale)
-            )
-        elif augmentation.startswith("packet_loss"):
-            match = re.fullmatch(
-                r"packet_loss\(packet_loss_indices=(.*),packet_duration_ms=(.*)\)",
-                augmentation,
-            )
-            indices_, duration_ = match.groups()
-            noisy_speech = dsp.packet_loss_apply(
-                noisy_speech, fs, ast.literal_eval(indices_), int(duration_)
-            )
-        else:
-            raise NotImplementedError(augmentation)
+    noisy_speech = apply_augmentations(noisy_speech, fs, augmentations)
 
     length = int(info["length"])
     assert noisy_speech.shape[-1] == length, (info, noisy_speech.shape)

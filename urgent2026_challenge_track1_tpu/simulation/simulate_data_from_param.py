@@ -41,8 +41,14 @@ def main(args):
     noise_dic.update(_read_flat_scp(args.wind_noise_scps or []))
     rir_dic = _read_flat_scp(args.rir_scps) if args.rir_scps is not None else None
 
+    # The reference reads log_dir/meta.tsv and leaves --meta_tsv decorative
+    # (simulate_data_from_param.py:413,596) — same precedence here, but
+    # --meta_tsv alone also works instead of crashing on log_dir=None.
+    meta_path = (
+        Path(args.log_dir) / "meta.tsv" if args.log_dir is not None else Path(args.meta_tsv)
+    )
     meta = []
-    with open(Path(args.log_dir) / "meta.tsv", "r") as f:
+    with open(meta_path, "r") as f:
         headers = next(f).strip().split("\t")
         for line in f:
             meta.append(dict(zip(headers, line.strip().split("\t"))))

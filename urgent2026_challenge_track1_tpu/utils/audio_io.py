@@ -5,10 +5,12 @@ The reference uses libsndfile via the ``soundfile`` package for all audio IO
 FLAC (``resample_to_estimated_bandwidth.py:59-61`` writes .flac; challenge
 corpora ship flac).  This environment has no libsndfile, so self-contained
 codecs are provided: a numpy RIFF/WAVE codec (PCM 16/24/32-bit, IEEE float
-32/64, WAVE_FORMAT_EXTENSIBLE) and a FLAC codec (utils/flac.py: C++ decoder
-+ python fixed-predictor encoder); ``soundfile`` is used when importable so
-behavior upgrades transparently.  Format is sniffed from content (magic
-bytes) on read and from the extension on write.
+32/64, WAVE_FORMAT_EXTENSIBLE), a FLAC codec (utils/flac.py: C++ decoder
++ python fixed-predictor encoder), and mp3/ogg/opus decode via the
+libavcodec shim (utils/codec_av.py — CommonVoice/DNS5 corpora ship mp3);
+``soundfile`` is used when importable so behavior upgrades transparently.
+Format is sniffed from content (magic bytes) on read and from the
+extension on write.
 
 API mirrors soundfile: ``read(path) -> (data, fs)`` with data float64 in
 [-1, 1), shape (T,) mono or (T, C); ``write(path, data, fs)`` picks PCM_16
@@ -81,16 +83,34 @@ def _decode(buf: bytes):
     return data, fs
 
 
+def _is_compressed_magic(head: bytes) -> bool:
+    """mp3 (ID3 tag or MPEG frame sync) / ogg container magic bytes."""
+    if head[:3] == b"ID3" or head[:4] == b"OggS":
+        return True
+    return len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+
+
 def read(path: str, dtype: str = "float64"):
     """(data, fs); data (T,) or (T, C) like soundfile.read."""
     if _sf is not None:
-        return _sf.read(path, dtype=dtype)
+        try:
+            return _sf.read(path, dtype=dtype)
+        except Exception:
+            # libsndfile without lame/vorbis support — fall through to the
+            # libavcodec shim for compressed formats
+            pass
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:4] == b"fLaC":
         from urgent2026_challenge_track1_tpu.utils import flac
 
         data, fs = flac.decode(buf)
+    elif _is_compressed_magic(buf[:4]):
+        # mp3/ogg corpora (CommonVoice, DNS5) — reference reads these via
+        # libsndfile/librosa (simulate_data_from_param.py:347-361)
+        from urgent2026_challenge_track1_tpu.utils import codec_av
+
+        data, fs = codec_av.decode_file(path)
     else:
         data, fs = _decode(buf)
     return data.astype(dtype), fs
@@ -113,6 +133,11 @@ def info(path: str) -> tuple[int, int]:
 
             total, fs, _, _ = flac.probe(buf)
             return total, fs
+        if _is_compressed_magic(buf[:4]):
+            from urgent2026_challenge_track1_tpu.utils import codec_av
+
+            frames, fs, _ = codec_av.probe_file(path)
+            return frames, fs
         return _parse_chunks_headeronly(buf, f)
 
 
