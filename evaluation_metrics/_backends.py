@@ -29,28 +29,52 @@ def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def load_dnsmos(primary_model: str, p808_model: str, device: str = "cpu"):
-    """DNSMOS ONNX runner (reference: espnet DNSMOS_local over onnxruntime)."""
-    try:
-        import onnxruntime  # noqa: F401
-    except ImportError as e:
-        raise BackendUnavailable(
-            "DNSMOS",
-            "Install onnxruntime and download sig_bak_ovr.onnx / model_v8.onnx "
-            "from https://github.com/microsoft/DNS-Challenge (DNSMOS dir).",
-        ) from e
+    """DNSMOS ONNX runner (reference: espnet DNSMOS_local over onnxruntime).
+
+    Prefers onnxruntime when installed; otherwise runs the graphs natively
+    on jnp via ops/onnx_jax.py (jitted — on TPU when one is attached), so
+    DNSMOS needs only the two .onnx weight files."""
     from pathlib import Path
 
     if not (Path(primary_model).exists() and Path(p808_model).exists()):
         raise BackendUnavailable(
-            "DNSMOS", f"model files not found: {primary_model}, {p808_model}"
+            "DNSMOS",
+            f"model files not found: {primary_model}, {p808_model} — download "
+            "sig_bak_ovr.onnx / model_v8.onnx from "
+            "https://github.com/microsoft/DNS-Challenge (DNSMOS dir).",
         )
-    import onnxruntime as ort
+    try:
+        import onnxruntime as ort
 
-    providers = ["CPUExecutionProvider"]
-    return (
-        ort.InferenceSession(primary_model, providers=providers),
-        ort.InferenceSession(p808_model, providers=providers),
-    )
+        providers = ["CPUExecutionProvider"]
+        return (
+            ort.InferenceSession(primary_model, providers=providers),
+            ort.InferenceSession(p808_model, providers=providers),
+        )
+    except ImportError:
+        pass
+    if device == "cpu":
+        # must precede the first jax backend use — a sitecustomize may pin
+        # JAX_PLATFORMS to a remote TPU plugin (see CLAUDE.md)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized by the host process
+    from urgent2026_challenge_track1_tpu.ops import onnx_jax
+
+    try:
+        return (
+            onnx_jax.InferenceSession(primary_model),
+            onnx_jax.InferenceSession(p808_model),
+        )
+    except NotImplementedError as e:
+        raise BackendUnavailable(
+            "DNSMOS",
+            f"native ONNX executor lacks an op used by these models ({e}); "
+            "install onnxruntime or extend ops/onnx_jax.py.",
+        ) from e
 
 
 def load_hf_model(model_id: str, cls_name: str, metric: str):

@@ -84,3 +84,51 @@ def test_cli_main_with_stub_sessions(tmp_path):
     assert (tmp_path / "out" / "P808_MOS.scp").exists()
     results = (tmp_path / "out" / "RESULTS.txt").read_text()
     assert "DNSMOS_OVRL" in results and "P808_MOS" in results
+
+
+def test_load_dnsmos_native_executor_end_to_end(tmp_path):
+    """No onnxruntime in this image: load_dnsmos falls back to the jnp
+    executor (ops/onnx_jax.py).  DNSMOS-shaped graphs written with the
+    in-repo ONNX writer are scored through the real score_one pipeline."""
+    from urgent2026_challenge_track1_tpu.utils import onnx_lite
+    import _backends
+
+    rng = np.random.default_rng(2)
+
+    def save(path, nodes, inits, inputs, outputs, shapes):
+        g = onnx_lite.Graph(
+            nodes=[onnx_lite.Node(*n) for n in nodes],
+            initializers=inits, inputs=list(inputs), outputs=list(outputs),
+            input_shapes=shapes,
+        )
+        path.write_bytes(onnx_lite.dumps(onnx_lite.Model(graph=g)))
+
+    # primary: (1, 144160) raw audio -> mean -> affine -> (1, 3)
+    w1 = rng.standard_normal((3, 1)).astype(np.float32)
+    b1 = np.array([3.0, 3.4, 2.9], np.float32)
+    save(
+        tmp_path / "sig_bak_ovr.onnx",
+        [("ReduceMean", ["input_1"], ["m"], {"axes": [1], "keepdims": 1}),
+         ("Gemm", ["m", "w1", "b1"], ["out"], {"transB": 1})],
+        {"w1": w1, "b1": b1}, ["input_1"], ["out"], {"input_1": (1, 144160)},
+    )
+    # p808: (1, 900, 120) log-mel -> flatten-mean -> affine -> (1, 1)
+    w2 = rng.standard_normal((1, 1)).astype(np.float32)
+    b2 = np.array([3.6], np.float32)
+    save(
+        tmp_path / "model_v8.onnx",
+        [("ReduceMean", ["input_1"], ["m"], {"axes": [1, 2], "keepdims": 0}),
+         ("Unsqueeze", ["m"], ["mu"], {"axes": [0]}),
+         ("Gemm", ["mu", "w2", "b2"], ["out"], {"transB": 1})],
+        {"w2": w2, "b2": b2}, ["input_1"], ["out"], {"input_1": (1, 900, 120)},
+    )
+
+    sessions = _backends.load_dnsmos(
+        str(tmp_path / "sig_bak_ovr.onnx"), str(tmp_path / "model_v8.onnx")
+    )
+    fs = 16000
+    audio = 0.05 * rng.standard_normal(int(10 * fs))
+    scores = dnsmos.score_one(sessions, audio, fs)
+    assert set(scores) == {"DNSMOS_OVRL", "P808_MOS"}
+    assert np.isfinite(scores["DNSMOS_OVRL"]) and np.isfinite(scores["P808_MOS"])
+    assert 1.0 < scores["P808_MOS"] < 5.0

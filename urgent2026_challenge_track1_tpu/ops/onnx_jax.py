@@ -1,0 +1,523 @@
+"""ONNX graph executor on jnp — a TPU-native replacement for onnxruntime.
+
+The reference runs DNSMOS (and other ONNX metric models) through the
+onnxruntime C++ runtime
+(``/root/reference/evaluation_metrics/calculate_nonintrusive_dnsmos.py:84-106``).
+Here the graph parsed by ``utils/onnx_lite.py`` is executed with jax.numpy:
+under ``jax.jit`` the whole model compiles to one XLA program, so metric
+scoring rides the same TPU as everything else (SURVEY §2.9 rebuild plan).
+
+Coverage targets inference-time CNN/MLP/RNN speech models (DNSMOS primary +
+P808 are Conv/Pool/Dense stacks).  Unsupported ops raise an actionable
+error naming the op.  ``InferenceSession`` mimics the small slice of the
+onnxruntime API the metric CLIs use (``run``, ``get_inputs``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from urgent2026_challenge_track1_tpu.utils import onnx_lite
+
+__all__ = ["OnnxGraphExecutor", "InferenceSession"]
+
+
+def _auto_pads(auto_pad, spatial_in, kernel, strides, dilations):
+    """Resolve ONNX auto_pad to explicit per-dimension (lo, hi) pairs."""
+    pads = []
+    for i, (s_in, k, s, d) in enumerate(zip(spatial_in, kernel, strides, dilations)):
+        eff = (k - 1) * d + 1
+        if auto_pad == "VALID":
+            pads.append((0, 0))
+            continue
+        out = -(-s_in // s)  # ceil
+        total = max(0, (out - 1) * s + eff - s_in)
+        if auto_pad == "SAME_UPPER":
+            pads.append((total // 2, total - total // 2))
+        else:  # SAME_LOWER
+            pads.append((total - total // 2, total // 2))
+    return pads
+
+
+def _conv_pads(node, spatial_in, kernel, strides, dilations):
+    auto_pad = node.attrs.get("auto_pad", "NOTSET")
+    if auto_pad not in ("", "NOTSET"):
+        return _auto_pads(auto_pad, spatial_in, kernel, strides, dilations)
+    pads = node.attrs.get("pads")
+    if pads is None:
+        return [(0, 0)] * len(kernel)
+    n = len(pads) // 2
+    return list(zip(pads[:n], pads[n:]))
+
+
+def _op_conv(node, x, w, b=None):
+    rank = x.ndim - 2  # spatial rank
+    strides = node.attrs.get("strides", [1] * rank)
+    dilations = node.attrs.get("dilations", [1] * rank)
+    group = node.attrs.get("group", 1)
+    kernel = w.shape[2:]
+    pads = _conv_pads(node, x.shape[2:], kernel, strides, dilations)
+    lhs_spec = "NC" + "DHW"[3 - rank :]
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=strides,
+        padding=pads,
+        rhs_dilation=dilations,
+        dimension_numbers=(lhs_spec, "OI" + "DHW"[3 - rank :], lhs_spec),
+        feature_group_count=group,
+    )
+    if b is not None:
+        out = out + b.reshape((1, -1) + (1,) * rank)
+    return out
+
+
+def _pool(node, x, reducer, init, is_avg=False):
+    kernel = list(node.attrs["kernel_shape"])
+    rank = len(kernel)
+    strides = list(node.attrs.get("strides", [1] * rank))
+    dilations = [1] * rank
+    auto_pad = node.attrs.get("auto_pad", "NOTSET")
+    if auto_pad not in ("", "NOTSET"):
+        pads = _auto_pads(auto_pad, x.shape[2:], kernel, strides, dilations)
+    else:
+        p = node.attrs.get("pads", [0] * (2 * rank))
+        pads = list(zip(p[:rank], p[rank:]))
+    window = (1, 1) + tuple(kernel)
+    strides_full = (1, 1) + tuple(strides)
+    pads_full = [(0, 0), (0, 0)] + pads
+    out = lax.reduce_window(x, init, reducer, window, strides_full, pads_full)
+    if is_avg:
+        if node.attrs.get("count_include_pad", 0):
+            out = out / np.prod(kernel)
+        else:
+            ones = jnp.ones(x.shape[2:], x.dtype)[None, None]
+            counts = lax.reduce_window(
+                ones, 0.0, lax.add, window, strides_full, pads_full
+            )
+            out = out / counts
+    return out
+
+
+def _op_gemm(node, a, b, c=None):
+    if node.attrs.get("transA", 0):
+        a = a.T
+    if node.attrs.get("transB", 0):
+        b = b.T
+    out = node.attrs.get("alpha", 1.0) * (a @ b)
+    if c is not None:
+        out = out + node.attrs.get("beta", 1.0) * c
+    return out
+
+
+def _op_batchnorm(node, x, scale, bias, mean, var):
+    eps = node.attrs.get("epsilon", 1e-5)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return (x - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape) + eps) * scale.reshape(
+        shape
+    ) + bias.reshape(shape)
+
+
+def _static_ints(v, what):
+    """Shape-like operand → python ints (must be trace-time constant)."""
+    if isinstance(v, jnp.ndarray) and not isinstance(v, np.ndarray):
+        raise ValueError(
+            f"{what} operand is traced (data-dependent shapes are not jittable); "
+            "this executor requires shape inputs to be initializers or Shape()-derived"
+        )
+    return [int(x) for x in np.asarray(v).reshape(-1)]
+
+
+def _op_reshape(node, x, shape):
+    tgt = _static_ints(shape, "Reshape")
+    out = []
+    for i, d in enumerate(tgt):
+        if d == 0 and not node.attrs.get("allowzero", 0):
+            out.append(x.shape[i])
+        else:
+            out.append(d)
+    return x.reshape(out)
+
+
+def _op_slice(node, x, starts=None, ends=None, axes=None, steps=None):
+    if starts is None:  # opset-1 attribute form
+        starts = node.attrs["starts"]
+        ends = node.attrs["ends"]
+        axes = node.attrs.get("axes")
+    starts = _static_ints(starts, "Slice")
+    ends = _static_ints(ends, "Slice")
+    axes = list(range(len(starts))) if axes is None else _static_ints(axes, "Slice")
+    steps = [1] * len(starts) if steps is None else _static_ints(steps, "Slice")
+    idx = [slice(None)] * x.ndim
+    for st, en, ax, sp in zip(starts, ends, axes, steps):
+        idx[ax] = slice(st, None if en >= np.iinfo(np.int32).max else en, sp)
+    return x[tuple(idx)]
+
+
+def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
+    """ONNX LSTM (iofc gate order), layout=0: x is (T, B, I)."""
+    if seq_lens is not None:
+        raise ValueError("LSTM sequence_lens input is not supported")
+    if p is not None:
+        raise ValueError("LSTM peephole weights are not supported")
+    hidden = node.attrs["hidden_size"]
+    direction = node.attrs.get("direction", "forward")
+    num_dir = 2 if direction == "bidirectional" else 1
+    T, B, _ = x.shape
+    if b is None:
+        b = jnp.zeros((num_dir, 8 * hidden), x.dtype)
+    if h0 is None:
+        h0 = jnp.zeros((num_dir, B, hidden), x.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((num_dir, B, hidden), x.dtype)
+
+    def run_dir(xd, wd, rd, bd, h, c):
+        wb, rb = bd[: 4 * hidden], bd[4 * hidden :]
+        pre_x = xd @ wd.T + (wb + rb)  # (T, B, 4H)
+
+        def step(carry, px):
+            h, c = carry
+            g = px + h @ rd.T
+            i, o, f, cc = jnp.split(g, 4, axis=-1)
+            i, o, f = jax.nn.sigmoid(i), jax.nn.sigmoid(o), jax.nn.sigmoid(f)
+            c = f * c + i * jnp.tanh(cc)
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        (h, c), hs = lax.scan(step, (h, c), pre_x)
+        return hs, h, c
+
+    outs, hts, cts = [], [], []
+    for d in range(num_dir):
+        xd = x[::-1] if (d == 1 or direction == "reverse") else x
+        hs, ht, ct = run_dir(xd, w[d], r[d], b[d], h0[d], c0[d])
+        if d == 1 or direction == "reverse":
+            hs = hs[::-1]
+        outs.append(hs)
+        hts.append(ht)
+        cts.append(ct)
+    y = jnp.stack(outs, axis=1)  # (T, num_dir, B, H)
+    return y, jnp.stack(hts), jnp.stack(cts)
+
+
+def _op_pad(node, x, pads=None, value=None):
+    if pads is None:
+        pads = node.attrs["pads"]
+    pads = _static_ints(pads, "Pad")
+    mode = node.attrs.get("mode", "constant")
+    n = x.ndim
+    widths = list(zip(pads[:n], pads[n:]))
+    if mode == "constant":
+        cv = 0.0 if value is None else float(np.asarray(value).reshape(-1)[0])
+        return jnp.pad(x, widths, constant_values=cv)
+    return jnp.pad(x, widths, mode={"reflect": "reflect", "edge": "edge"}[mode])
+
+
+def _reduce(fn):
+    def op(node, x, axes_in=None):
+        axes = node.attrs.get("axes", axes_in)
+        if axes is not None:
+            axes = tuple(_static_ints(axes, "Reduce"))
+        keep = bool(node.attrs.get("keepdims", 1))
+        return fn(x, axis=axes, keepdims=keep)
+
+    return op
+
+
+_UNARY = {
+    "Relu": jax.nn.relu,
+    "Sigmoid": jax.nn.sigmoid,
+    "Tanh": jnp.tanh,
+    "Exp": jnp.exp,
+    "Log": jnp.log,
+    "Sqrt": jnp.sqrt,
+    "Neg": jnp.negative,
+    "Abs": jnp.abs,
+    "Floor": jnp.floor,
+    "Ceil": jnp.ceil,
+    "Erf": jax.scipy.special.erf,
+    "Softplus": jax.nn.softplus,
+    "Identity": lambda x: x,
+}
+
+_BINARY = {
+    "Add": jnp.add,
+    "Sub": jnp.subtract,
+    "Mul": jnp.multiply,
+    "Div": jnp.divide,
+    "Pow": jnp.power,
+    "Greater": jnp.greater,
+    "Less": jnp.less,
+    "Equal": jnp.equal,
+    "Max": jnp.maximum,
+    "Min": jnp.minimum,
+}
+
+
+class OnnxGraphExecutor:
+    """Executes a parsed ONNX graph with jnp.  Instances are callable with
+    keyword arrays matching the graph inputs and return the list of graph
+    outputs; wrap in ``jax.jit`` for compiled execution."""
+
+    def __init__(self, model: onnx_lite.Model):
+        self.model = model
+        self.graph = model.graph
+        missing = sorted(
+            {n.op_type for n in self.graph.nodes if not self._supported(n.op_type)}
+        )
+        if missing:
+            raise NotImplementedError(
+                f"unsupported ONNX op(s): {missing} — extend ops/onnx_jax.py"
+            )
+
+    def _supported(self, op: str) -> bool:
+        return (
+            op in _UNARY
+            or op in _BINARY
+            or hasattr(self, f"_run_{op.lower()}")
+            or op
+            in (
+                "Conv",
+                "Gemm",
+                "MatMul",
+                "BatchNormalization",
+                "MaxPool",
+                "AveragePool",
+                "GlobalAveragePool",
+                "GlobalMaxPool",
+                "Reshape",
+                "Transpose",
+                "Concat",
+                "Squeeze",
+                "Unsqueeze",
+                "Flatten",
+                "Softmax",
+                "LeakyRelu",
+                "Elu",
+                "Clip",
+                "Dropout",
+                "Constant",
+                "Shape",
+                "Cast",
+                "Slice",
+                "Gather",
+                "ReduceMean",
+                "ReduceSum",
+                "ReduceMax",
+                "ReduceMin",
+                "LSTM",
+                "Pad",
+                "Expand",
+                "Split",
+                "ConstantOfShape",
+                "Where",
+                "Gelu",
+                "LayerNormalization",
+                "InstanceNormalization",
+            )
+        )
+
+    def __call__(self, **inputs) -> List[jnp.ndarray]:
+        g = self.graph
+        env: Dict[str, object] = {}
+        for k, v in g.initializers.items():
+            env[k] = v  # keep as numpy: shape-operands must stay static
+        for k in g.inputs:
+            if k not in inputs:
+                raise KeyError(f"missing graph input '{k}' (have {sorted(inputs)})")
+            env[k] = jnp.asarray(inputs[k])
+        for node in g.nodes:
+            args = [env[i] if i else None for i in node.inputs]
+            outs = self._run_node(node, args)
+            if not isinstance(outs, (tuple, list)):
+                outs = (outs,)
+            for name, val in zip(node.outputs, outs):
+                if name:
+                    env[name] = val
+        return [jnp.asarray(env[o]) for o in g.outputs]
+
+    # -- dispatch -----------------------------------------------------------
+
+    def _run_node(self, node, args):
+        op = node.op_type
+        if op in _UNARY:
+            return _UNARY[op](args[0])
+        if op in _BINARY:
+            return _BINARY[op](args[0], args[1])
+        if op == "Conv":
+            return _op_conv(node, *args)
+        if op == "Gemm":
+            return _op_gemm(node, *args)
+        if op == "MatMul":
+            return args[0] @ args[1]
+        if op == "BatchNormalization":
+            return _op_batchnorm(node, *args)
+        if op == "MaxPool":
+            return _pool(node, args[0], lax.max, -jnp.inf)
+        if op == "AveragePool":
+            return _pool(node, args[0], lax.add, 0.0, is_avg=True)
+        if op == "GlobalAveragePool":
+            return jnp.mean(args[0], axis=tuple(range(2, args[0].ndim)), keepdims=True)
+        if op == "GlobalMaxPool":
+            return jnp.max(args[0], axis=tuple(range(2, args[0].ndim)), keepdims=True)
+        if op == "Reshape":
+            return _op_reshape(node, args[0], args[1])
+        if op == "Transpose":
+            perm = node.attrs.get("perm")
+            return jnp.transpose(args[0], perm)
+        if op == "Concat":
+            return jnp.concatenate(args, axis=node.attrs["axis"])
+        if op == "Squeeze":
+            axes = node.attrs.get("axes")
+            if axes is None and len(args) > 1 and args[1] is not None:
+                axes = _static_ints(args[1], "Squeeze")
+            return jnp.squeeze(args[0], tuple(axes) if axes else None)
+        if op == "Unsqueeze":
+            axes = node.attrs.get("axes")
+            if axes is None:
+                axes = _static_ints(args[1], "Unsqueeze")
+            out = args[0]
+            for ax in sorted(axes):
+                out = jnp.expand_dims(out, ax)
+            return out
+        if op == "Flatten":
+            ax = node.attrs.get("axis", 1)
+            shape = args[0].shape
+            lead = int(np.prod(shape[:ax])) if ax else 1
+            return args[0].reshape(lead, -1)
+        if op == "Softmax":
+            return jax.nn.softmax(args[0], axis=node.attrs.get("axis", -1))
+        if op == "LeakyRelu":
+            return jax.nn.leaky_relu(args[0], node.attrs.get("alpha", 0.01))
+        if op == "Elu":
+            return jax.nn.elu(args[0], node.attrs.get("alpha", 1.0))
+        if op == "Gelu":
+            approx = node.attrs.get("approximate", "none") == "tanh"
+            return jax.nn.gelu(args[0], approximate=approx)
+        if op == "Clip":
+            lo = args[1] if len(args) > 1 and args[1] is not None else node.attrs.get("min")
+            hi = args[2] if len(args) > 2 and args[2] is not None else node.attrs.get("max")
+            return jnp.clip(args[0], lo, hi)
+        if op == "Dropout":
+            return args[0]  # inference
+        if op == "Constant":
+            for key in ("value", "value_float", "value_int", "value_floats", "value_ints"):
+                if key in node.attrs:
+                    return np.asarray(node.attrs[key])
+            raise ValueError("Constant node without value")
+        if op == "Shape":
+            return np.asarray(args[0].shape, np.int64)  # static under jit
+        if op == "Cast":
+            to = node.attrs["to"]
+            dtype = onnx_lite._DTYPES[to]
+            if isinstance(args[0], np.ndarray):
+                return args[0].astype(dtype)
+            return args[0].astype(dtype)
+        if op == "Slice":
+            return _op_slice(node, *args)
+        if op == "Gather":
+            ax = node.attrs.get("axis", 0)
+            return jnp.take(args[0], jnp.asarray(args[1]), axis=ax)
+        if op == "ReduceMean":
+            return _reduce(jnp.mean)(node, *args)
+        if op == "ReduceSum":
+            return _reduce(jnp.sum)(node, *args)
+        if op == "ReduceMax":
+            return _reduce(jnp.max)(node, *args)
+        if op == "ReduceMin":
+            return _reduce(jnp.min)(node, *args)
+        if op == "LSTM":
+            return _op_lstm(node, *args)
+        if op == "Pad":
+            return _op_pad(node, *args)
+        if op == "Expand":
+            return jnp.broadcast_to(
+                args[0],
+                np.broadcast_shapes(args[0].shape, tuple(_static_ints(args[1], "Expand"))),
+            )
+        if op == "Split":
+            ax = node.attrs.get("axis", 0)
+            if "split" in node.attrs:
+                sizes = node.attrs["split"]
+            elif len(args) > 1 and args[1] is not None:
+                sizes = _static_ints(args[1], "Split")
+            else:
+                k = len(node.outputs)
+                sizes = [args[0].shape[ax] // k] * k
+            idx = np.cumsum(sizes)[:-1]
+            return jnp.split(args[0], idx, axis=ax)
+        if op == "ConstantOfShape":
+            val = node.attrs.get("value")
+            fill = np.asarray(val).reshape(-1)[0] if val is not None else np.float32(0)
+            return jnp.full(_static_ints(args[0], "ConstantOfShape"), fill, fill.dtype)
+        if op == "Where":
+            return jnp.where(args[0], args[1], args[2])
+        if op == "LayerNormalization":
+            ax = node.attrs.get("axis", -1)
+            eps = node.attrs.get("epsilon", 1e-5)
+            x = args[0]
+            axes = tuple(range(ax % x.ndim, x.ndim))
+            mu = jnp.mean(x, axis=axes, keepdims=True)
+            var = jnp.var(x, axis=axes, keepdims=True)
+            out = (x - mu) / jnp.sqrt(var + eps) * args[1]
+            if len(args) > 2 and args[2] is not None:
+                out = out + args[2]
+            return out
+        if op == "InstanceNormalization":
+            eps = node.attrs.get("epsilon", 1e-5)
+            x = args[0]
+            axes = tuple(range(2, x.ndim))
+            mu = jnp.mean(x, axis=axes, keepdims=True)
+            var = jnp.var(x, axis=axes, keepdims=True)
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            return (x - mu) / jnp.sqrt(var + eps) * args[1].reshape(shape) + args[
+                2
+            ].reshape(shape)
+        raise NotImplementedError(f"ONNX op {op}")
+
+
+class _IOInfo:
+    def __init__(self, name, shape):
+        self.name = name
+        self.shape = shape
+
+
+class InferenceSession:
+    """onnxruntime.InferenceSession facade over OnnxGraphExecutor (the slice
+    used by the metric CLIs: run(None, feed) and get_inputs())."""
+
+    def __init__(self, path_or_bytes, jit: bool = True):
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            model = onnx_lite.loads(bytes(path_or_bytes))
+        else:
+            model = onnx_lite.load(path_or_bytes)
+        self._exec = OnnxGraphExecutor(model)
+        self._call = (
+            jax.jit(partial(_run_exec, self._exec)) if jit else partial(_run_exec, self._exec)
+        )
+
+    def get_inputs(self):
+        g = self._exec.graph
+        return [_IOInfo(n, g.input_shapes.get(n)) for n in g.inputs]
+
+    def get_outputs(self):
+        return [_IOInfo(n, None) for n in self._exec.graph.outputs]
+
+    def run(self, output_names, feed: Dict[str, np.ndarray]):
+        outs = self._call(**{k: np.asarray(v) for k, v in feed.items()})
+        outs = [np.asarray(o) for o in outs]
+        if output_names:
+            order = {n: i for i, n in enumerate(self._exec.graph.outputs)}
+            outs = [outs[order[n]] for n in output_names]
+        return outs
+
+
+def _run_exec(executor, **inputs):
+    return executor(**inputs)
