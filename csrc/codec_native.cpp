@@ -145,7 +145,6 @@ int encode_mono(const float* in, int64_t n, int in_fs, const char* fmt_name,
     AVStream* st = nullptr;
     uint8_t* conv = nullptr;
     uint8_t* dyn_buf = nullptr;
-    bool header_written = false;
 
     auto fail = [&](int err) {
         if (swr) swr_free(&swr);
@@ -191,7 +190,6 @@ int encode_mono(const float* in, int64_t n, int in_fs, const char* fmt_name,
 
     if ((ret = avio_open_dyn_buf(&oc->pb)) < 0) return fail(ret);
     if ((ret = avformat_write_header(oc, nullptr)) < 0) return fail(ret);
-    header_written = true;
 
     frame = av_frame_alloc();
     pkt = av_packet_alloc();
@@ -243,7 +241,7 @@ int encode_mono(const float* in, int64_t n, int in_fs, const char* fmt_name,
     av_freep(&conv);
     avcodec_free_context(&ctx);
     avformat_free_context(oc);
-    (void)header_written;
+
     return 0;
 }
 
@@ -285,7 +283,9 @@ int decode_fmt_ctx(AVFormatContext* ic, int want_fs, std::vector<float>& out,
     auto push_frame = [&](AVFrame* f) -> int {
         if (!swr) {
             out_fs = want_fs > 0 ? want_fs : f->sample_rate;
-            AVChannelLayout out_layout;
+            // zero-init: av_channel_layout_copy uninits dst first, which
+            // would free a garbage map pointer on an uninitialized struct
+            AVChannelLayout out_layout = {};
             if (want_fs > 0) {
                 av_channel_layout_default(&out_layout, 1);
                 out_ch = 1;
@@ -296,6 +296,7 @@ int decode_fmt_ctx(AVFormatContext* ic, int want_fs, std::vector<float>& out,
             int r = swr_alloc_set_opts2(&swr, &out_layout, AV_SAMPLE_FMT_FLT, out_fs,
                                         &f->ch_layout, (AVSampleFormat)f->format,
                                         f->sample_rate, 0, nullptr);
+            av_channel_layout_uninit(&out_layout);  // swr keeps its own copy
             if (r < 0) return r;
             if ((r = swr_init(swr)) < 0) return r;
         }
