@@ -6,6 +6,7 @@ implementations.  This is the TPU-native replacement for the reference's
 onnxruntime dependency (calculate_nonintrusive_dnsmos.py:84-106).
 """
 
+import struct
 import numpy as np
 import pytest
 from scipy import signal as sps
@@ -230,3 +231,30 @@ def test_session_facade_matches_onnxruntime_surface():
     x = np.array([[-1.0, 2.0, -3.0, 4.0, 0.0]], np.float32)
     (y,) = sess.run(["out"], {"input_1": x})
     np.testing.assert_array_equal(y, np.maximum(x, 0))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_parser_rejects_garbage_without_crashing(seed):
+    rng = np.random.default_rng(seed)
+    junk = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+    with pytest.raises((ValueError, KeyError, struct.error, IndexError, TypeError)):
+        onnx_lite.loads(junk)
+
+
+def test_parser_rejects_truncated_model():
+    m = _model([("Relu", ["x"], ["y"], {})], {}, ["x"], ["y"])
+    data = onnx_lite.dumps(m)
+    for cut in (1, len(data) // 2, len(data) - 1):
+        with pytest.raises(Exception):
+            mm = onnx_lite.loads(data[:cut])
+            # a prefix that still parses must at least not invent a graph
+            if mm.graph.nodes:
+                raise ValueError("parsed garbage graph")
+
+
+def test_external_data_fails_loudly():
+    # tensor with external_data field (13) must raise, not yield zeros
+    t = onnx_lite._encode_tensor("w", np.zeros(2, np.float32))
+    t += onnx_lite._tag(13, 2) + onnx_lite._write_varint(0)
+    with pytest.raises(ValueError, match="external"):
+        onnx_lite._decode_tensor(memoryview(t))
