@@ -8,8 +8,9 @@ step with Pallas kernels, orbax checkpoints, JSONL metrics) for a few
 hundred steps on whatever platform jax picks (the real TPU by default), and
 prints the train/val SI-SNR trajectory.
 
-Usage: python scripts/train_e2e_check.py [epochs] [workdir]
+Usage: python scripts/train_e2e_check.py [epochs] [workdir] [model]
   epochs  default 40 (~480 steps at the built pool size / batch 4)
+  model   "baseline" (discriminative, default) or "flowse" (CFM generative)
 """
 
 import json
@@ -99,6 +100,7 @@ def build_valid_pairs(root: Path, fs=16000, seconds=4, n=8):
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     work = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(tempfile.mkdtemp(prefix="e2e_"))
+    model = sys.argv[3] if len(sys.argv) > 3 else "baseline"
     fs, seconds = build_train_sources(work / "train_sources")
     build_valid_pairs(work / "validation")
 
@@ -108,8 +110,14 @@ def main():
     import yaml  # noqa: E402
 
     # YAML wins over flags (reference config precedence, config.py:41-52),
-    # so derive a config file with this run's paths from the DM baseline
-    base = yaml.safe_load((repo / "conf/models/BSRNN_baseline_dm.yaml").read_text())
+    # so derive a config file with this run's paths from the chosen baseline
+    src_yaml = (
+        "conf/models/BSRNN_flowse.yaml" if model == "flowse"
+        else "conf/models/BSRNN_baseline_dm.yaml"
+    )
+    base = yaml.safe_load((repo / src_yaml).read_text())
+    if model == "flowse":
+        base.update(train_set_dynamic_mixing=True, batch_size=4)
     base.update(
         train_set_path=str(work / "train_sources"),
         valid_set_path=str(work / "validation"),
@@ -126,20 +134,22 @@ def main():
     state = train_se.main(["--config_file", str(cfg_path)])
     print(f"finished at step {state.step}")
 
-    jsonl = work / "exp/e2e_check/baseline/version_0/metrics.jsonl"
-    train_pts, val_pts = [], []
+    (jsonl,) = (work / "exp/e2e_check").glob("*/version_0/metrics.jsonl")
+    train_pts, val_pts, loss_pts = [], [], []
     for line in jsonl.read_text().splitlines():
         rec = json.loads(line)
         if "train_sisnr" in rec:
             train_pts.append((rec["step"], rec["train_sisnr"]))
+        if "train_loss" in rec:
+            loss_pts.append((rec["step"], rec["train_loss"]))
         if "val_sisnr" in rec:
             val_pts.append((rec["step"], rec["val_sisnr"]))
     show = lambda pts: " ".join(f"{s}:{v:.2f}" for s, v in pts)
+    print("train loss:", show(loss_pts[:3] + loss_pts[-3:]))
     print("train SI-SNR:", show(train_pts[:3] + train_pts[-3:]))
-    print("val SI-SNR:", show(val_pts))
-    if len(train_pts) >= 2:
-        print(f"train delta: {train_pts[-1][1] - train_pts[0][1]:+.2f} dB; "
-              f"workdir: {work}")
+    print("val SI-SNR (flowse: batch-0 N=10 sampler):", show(val_pts))
+    if len(loss_pts) >= 2:
+        print(f"loss {loss_pts[0][1]:.3f} -> {loss_pts[-1][1]:.3f}; workdir: {work}")
 
 
 if __name__ == "__main__":
