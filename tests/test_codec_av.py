@@ -114,3 +114,15 @@ def test_dynamic_mixing_pool_includes_codec():
 def test_roundtrip_rejects_unknown_codec():
     with pytest.raises(RuntimeError):
         codec_av.roundtrip(_speechlike(16000), 16000, "definitely-not-a-format")
+
+
+@pytest.mark.skipif(not os.path.exists(SAMPLE_MP3), reason="no sample mp3 in image")
+def test_info_frames_exact_for_compressed():
+    """info() must return the EXACT decoded length for mp3/ogg (the meta.tsv
+    length column and inference batch packing assert on it; container headers
+    only estimate)."""
+    data, fs = audio_io.read(SAMPLE_MP3)
+    frames, ifs = audio_io.info(SAMPLE_MP3)
+    assert ifs == fs
+    assert frames == data.shape[0]
+    assert audio_io.info_frames(SAMPLE_MP3) == data.shape[0]

@@ -258,3 +258,67 @@ def test_external_data_fails_loudly():
     t += onnx_lite._tag(13, 2) + onnx_lite._write_varint(0)
     with pytest.raises(ValueError, match="external"):
         onnx_lite._decode_tensor(memoryview(t))
+
+
+def test_shape_gather_concat_reshape_export_pattern():
+    """The canonical TF/torch-export idiom: Shape -> Gather -> Unsqueeze ->
+    Concat -> Reshape must work (Shape-derived values stay concrete)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    m = _model(
+        [
+            ("Shape", ["x"], ["shp"], {}),
+            ("Gather", ["shp", "zero"], ["b"], {"axis": 0}),
+            ("Unsqueeze", ["b"], ["bu"], {"axes": [0]}),
+            ("Concat", ["bu", "minus1"], ["tgt"], {"axis": 0}),
+            ("Reshape", ["x", "tgt"], ["y"], {}),
+        ],
+        {"zero": np.array(0, np.int64), "minus1": np.array([-1], np.int64)},
+        ["x"],
+        ["y"],
+    )
+    for jit in (False, True):
+        sess = onnx_jax.InferenceSession(onnx_lite.dumps(m), jit=jit)
+        (y,) = sess.run(None, {"x": x})
+        np.testing.assert_allclose(y, x.reshape(2, 12), rtol=1e-6)
+
+
+def test_maxpool_ceil_mode():
+    """ONNX spec example: 7-wide, kernel 2, stride 2, ceil_mode=1 -> 4 outputs."""
+    x = np.arange(7, dtype=np.float32).reshape(1, 1, 1, 7)
+    m = _model(
+        [("MaxPool", ["x"], ["y"], {"kernel_shape": [1, 2], "strides": [1, 2], "ceil_mode": 1})],
+        {},
+        ["x"],
+        ["y"],
+    )
+    (y,) = _session(m).run(None, {"x": x})
+    np.testing.assert_array_equal(y[0, 0, 0], [1, 3, 5, 6])
+
+
+def test_maxpool_dilations():
+    x = np.arange(6, dtype=np.float32).reshape(1, 1, 1, 6)
+    m = _model(
+        [("MaxPool", ["x"], ["y"], {"kernel_shape": [1, 2], "strides": [1, 1], "dilations": [1, 2]})],
+        {},
+        ["x"],
+        ["y"],
+    )
+    (y,) = _session(m).run(None, {"x": x})
+    # effective window [i, i+2]: max over pairs 2 apart
+    np.testing.assert_array_equal(y[0, 0, 0], [2, 3, 4, 5])
+
+
+def test_split_uneven_default_sizes():
+    """ONNX: equal ceil-sized chunks with a smaller last chunk (10 -> 4,4,2)."""
+    x = np.arange(10, dtype=np.float32)
+    m = _model(
+        [("Split", ["x"], ["a", "b", "c"], {"axis": 0})],
+        {},
+        ["x"],
+        ["a", "b", "c"],
+    )
+    a, b, c = _session(m).run(None, {"x": x})
+    np.testing.assert_array_equal(a, [0, 1, 2, 3])
+    np.testing.assert_array_equal(b, [4, 5, 6, 7])
+    np.testing.assert_array_equal(c, [8, 9])

@@ -83,17 +83,32 @@ def _pool(node, x, reducer, init, is_avg=False):
     kernel = list(node.attrs["kernel_shape"])
     rank = len(kernel)
     strides = list(node.attrs.get("strides", [1] * rank))
-    dilations = [1] * rank
+    dilations = list(node.attrs.get("dilations", [1] * rank))
+    if is_avg and any(d != 1 for d in dilations):
+        raise NotImplementedError("AveragePool dilations != 1")
     auto_pad = node.attrs.get("auto_pad", "NOTSET")
     if auto_pad not in ("", "NOTSET"):
         pads = _auto_pads(auto_pad, x.shape[2:], kernel, strides, dilations)
     else:
         p = node.attrs.get("pads", [0] * (2 * rank))
         pads = list(zip(p[:rank], p[rank:]))
+    if node.attrs.get("ceil_mode", 0):
+        # grow the hi pad so reduce_window emits ceil-count windows (windows
+        # starting inside the original extent, per the ONNX spec)
+        for i, (k, s, d) in enumerate(zip(kernel, strides, dilations)):
+            eff = (k - 1) * d + 1
+            span = x.shape[2 + i] + pads[i][0] + pads[i][1]
+            out_ceil = -(-(span - eff) // s) + 1
+            need = (out_ceil - 1) * s + eff - span
+            if need > 0:
+                pads[i] = (pads[i][0], pads[i][1] + need)
     window = (1, 1) + tuple(kernel)
     strides_full = (1, 1) + tuple(strides)
+    dil_full = (1, 1) + tuple(dilations)
     pads_full = [(0, 0), (0, 0)] + pads
-    out = lax.reduce_window(x, init, reducer, window, strides_full, pads_full)
+    out = lax.reduce_window(
+        x, init, reducer, window, strides_full, pads_full, window_dilation=dil_full
+    )
     if is_avg:
         if node.attrs.get("count_include_pad", 0):
             out = out / np.prod(kernel)
@@ -126,8 +141,12 @@ def _op_batchnorm(node, x, scale, bias, mean, var):
 
 
 def _static_ints(v, what):
-    """Shape-like operand → python ints (must be trace-time constant)."""
-    if isinstance(v, jnp.ndarray) and not isinstance(v, np.ndarray):
+    """Shape-like operand → python ints (must be trace-time constant).
+
+    Concrete jax Arrays are fine (Shape-derived values passed through
+    Gather/Concat/Add stay concrete because Shape returns numpy and graph
+    inputs are the only tracers) — only actual tracers are data-dependent."""
+    if isinstance(v, jax.core.Tracer):
         raise ValueError(
             f"{what} operand is traced (data-dependent shapes are not jittable); "
             "this executor requires shape inputs to be initializers or Shape()-derived"
@@ -345,8 +364,95 @@ class OnnxGraphExecutor:
 
     # -- dispatch -----------------------------------------------------------
 
+    # Shape-pipeline ops constant-folded with numpy when every operand is
+    # numpy: under jit even concrete values become tracers once they pass
+    # through a jnp op, which would break Reshape/Slice/Expand consumers of
+    # the canonical exporter idiom Shape -> Gather -> Concat -> Reshape.
+    _FOLDABLE = {
+        "Gather", "Concat", "Unsqueeze", "Squeeze", "Slice", "Cast",
+        "Add", "Sub", "Mul", "Div", "Neg", "Abs", "Floor", "Ceil",
+        "Equal", "Greater", "Less", "Where", "Max", "Min",
+        "ReduceProd", "ReduceSum", "ReduceMax", "ReduceMin",
+        "Reshape", "Transpose", "Identity", "ConstantOfShape", "Expand",
+    }
+
+    def _fold_numpy(self, node, args):
+        """Evaluate a foldable node on all-numpy operands; None = not handled
+        (falls through to the jnp path)."""
+        op = node.op_type
+        a = args[0]
+        if op == "Gather":
+            return np.take(a, np.asarray(args[1]), axis=node.attrs.get("axis", 0))
+        if op == "Concat":
+            return np.concatenate(args, axis=node.attrs["axis"])
+        if op == "Unsqueeze":
+            axes = node.attrs.get("axes")
+            if axes is None:
+                axes = _static_ints(args[1], "Unsqueeze")
+            for ax in sorted(axes):
+                a = np.expand_dims(a, ax)
+            return a
+        if op == "Squeeze":
+            axes = node.attrs.get("axes")
+            if axes is None and len(args) > 1 and args[1] is not None:
+                axes = _static_ints(args[1], "Squeeze")
+            return np.squeeze(a, tuple(axes) if axes else None)
+        if op == "Slice":
+            return _op_slice(node, *args)  # numpy indexing stays numpy
+        if op == "Cast":
+            return a.astype(onnx_lite._DTYPES[node.attrs["to"]])
+        if op == "Reshape":
+            return _op_reshape(node, a, args[1])
+        if op == "Transpose":
+            return np.transpose(a, node.attrs.get("perm"))
+        if op == "Identity":
+            return a
+        if op == "ConstantOfShape":
+            val = node.attrs.get("value")
+            fill = np.asarray(val).reshape(-1)[0] if val is not None else np.float32(0)
+            return np.full(_static_ints(a, "ConstantOfShape"), fill, fill.dtype)
+        if op == "Expand":
+            return np.broadcast_to(
+                a, np.broadcast_shapes(a.shape, tuple(_static_ints(args[1], "Expand")))
+            )
+        if op == "Where":
+            return np.where(args[0], args[1], args[2])
+        np_binary = {
+            "Add": np.add, "Sub": np.subtract, "Mul": np.multiply,
+            "Div": np.divide, "Equal": np.equal, "Greater": np.greater,
+            "Less": np.less, "Max": np.maximum, "Min": np.minimum,
+        }
+        if op in np_binary:
+            return np_binary[op](args[0], args[1])
+        np_unary = {"Neg": np.negative, "Abs": np.abs, "Floor": np.floor, "Ceil": np.ceil}
+        if op in np_unary:
+            return np_unary[op](a)
+        np_reduce = {
+            "ReduceProd": np.prod, "ReduceSum": np.sum,
+            "ReduceMax": np.max, "ReduceMin": np.min,
+        }
+        if op in np_reduce:
+            axes = node.attrs.get("axes")
+            if axes is None and len(args) > 1 and args[1] is not None:
+                axes = _static_ints(args[1], "Reduce")
+            return np_reduce[op](
+                a, axis=tuple(axes) if axes else None,
+                keepdims=bool(node.attrs.get("keepdims", 1)),
+            )
+        return None
+
     def _run_node(self, node, args):
         op = node.op_type
+        if (
+            op in self._FOLDABLE
+            and args
+            and all(x is None or isinstance(x, (np.ndarray, np.generic)) for x in args)
+        ):
+            out = self._fold_numpy(node, [
+                np.asarray(x) if x is not None else None for x in args
+            ])
+            if out is not None:
+                return np.asarray(out)
         if op in _UNARY:
             return _UNARY[op](args[0])
         if op in _BINARY:
@@ -415,11 +521,8 @@ class OnnxGraphExecutor:
         if op == "Shape":
             return np.asarray(args[0].shape, np.int64)  # static under jit
         if op == "Cast":
-            to = node.attrs["to"]
-            dtype = onnx_lite._DTYPES[to]
-            if isinstance(args[0], np.ndarray):
-                return args[0].astype(dtype)
-            return args[0].astype(dtype)
+            # numpy stays numpy (keeps Shape-derived values static), jnp stays jnp
+            return args[0].astype(onnx_lite._DTYPES[node.attrs["to"]])
         if op == "Slice":
             return _op_slice(node, *args)
         if op == "Gather":
@@ -449,8 +552,11 @@ class OnnxGraphExecutor:
             elif len(args) > 1 and args[1] is not None:
                 sizes = _static_ints(args[1], "Split")
             else:
+                # ONNX: equal ceil-sized chunks, last one possibly smaller
                 k = len(node.outputs)
-                sizes = [args[0].shape[ax] // k] * k
+                dim = args[0].shape[ax]
+                chunk = -(-dim // k)
+                sizes = [chunk] * (k - 1) + [dim - chunk * (k - 1)]
             idx = np.cumsum(sizes)[:-1]
             return jnp.split(args[0], idx, axis=ax)
         if op == "ConstantOfShape":

@@ -341,7 +341,8 @@ def codec_compression(speech: np.ndarray, fs: int, format: str, encoder=None, qs
         src = os.path.join(td, "in.wav")
         mid = os.path.join(td, f"mid.{format}")
         dst = os.path.join(td, "out.wav")
-        audio_io.write(src, speech[0], fs)
+        # interleaved (T, C): all channels round-trip, like the other backends
+        audio_io.write(src, speech.T if speech.shape[0] > 1 else speech[0], fs)
         enc = [] if encoder in (None, "None") else ["-c:a", {"vorbis": "libvorbis", "opus": "libopus"}.get(encoder, encoder)]
         q = [] if qscale is None else ["-q:a", str(qscale)]
         subprocess.run(["ffmpeg", "-y", "-loglevel", "quiet", "-i", src, *enc, *q, mid], check=True)

@@ -122,10 +122,18 @@ def info_frames(path: str) -> int:
 
 
 def info(path: str) -> tuple[int, int]:
-    """(frames, samplerate) from the header without decoding audio."""
+    """(frames, samplerate); header-only for wav/flac, exact decode count for
+    mp3/ogg (container headers only bound the duration — callers such as the
+    simulation meta table and inference batch packing need the exact length,
+    and VBR streams without a Xing header can be off by whole frames)."""
     if _sf is not None:
-        with _sf.SoundFile(path) as af:
-            return af.frames, af.samplerate
+        try:
+            with _sf.SoundFile(path) as af:
+                return af.frames, af.samplerate
+        except Exception:
+            # libsndfile without mp3/vorbis support — use the codec shim,
+            # keeping info() consistent with read()
+            pass
     with open(path, "rb") as f:
         buf = f.read(4096)
         if buf[:4] == b"fLaC":
@@ -136,8 +144,8 @@ def info(path: str) -> tuple[int, int]:
         if _is_compressed_magic(buf[:4]):
             from urgent2026_challenge_track1_tpu.utils import codec_av
 
-            frames, fs, _ = codec_av.probe_file(path)
-            return frames, fs
+            data, fs = codec_av.decode_file(path)
+            return data.shape[0], fs
         return _parse_chunks_headeronly(buf, f)
 
 
