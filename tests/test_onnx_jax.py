@@ -322,3 +322,42 @@ def test_split_uneven_default_sizes():
     np.testing.assert_array_equal(a, [0, 1, 2, 3])
     np.testing.assert_array_equal(b, [4, 5, 6, 7])
     np.testing.assert_array_equal(c, [8, 9])
+
+
+@pytest.mark.parametrize("lbr", [0, 1])
+def test_gru_zrh_gate_order_against_numpy(lbr):
+    rng = np.random.default_rng(8)
+    T, B, I, H = 5, 2, 3, 4
+    x = rng.standard_normal((T, B, I)).astype(np.float32)
+    w = (rng.standard_normal((1, 3 * H, I)) * 0.4).astype(np.float32)
+    r = (rng.standard_normal((1, 3 * H, H)) * 0.4).astype(np.float32)
+    b = (rng.standard_normal((1, 6 * H)) * 0.1).astype(np.float32)
+    m = _model(
+        [("GRU", ["x", "w", "r", "b"], ["y", "hn"],
+          {"hidden_size": H, "linear_before_reset": lbr})],
+        {"w": w, "r": r, "b": b},
+        ["x"],
+        ["y", "hn"],
+    )
+    y, hn = _session(m).run(None, {"x": x})
+
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    wb, rb = b[0, : 3 * H], b[0, 3 * H :]
+    h = np.zeros((B, H))
+    ys = []
+    for t in range(T):
+        gx = x[t] @ w[0].T + wb
+        gh = h @ r[0].T + rb
+        z = sig(gx[:, :H] + gh[:, :H])
+        rt = sig(gx[:, H : 2 * H] + gh[:, H : 2 * H])
+        if lbr:
+            ht = np.tanh(gx[:, 2 * H :] + rt * gh[:, 2 * H :])
+        else:
+            ht = np.tanh(gx[:, 2 * H :] + (rt * h) @ r[0, 2 * H :].T + rb[2 * H :])
+        h = (1 - z) * ht + z * h
+        ys.append(h.copy())
+    ref = np.stack(ys)[:, None]
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(hn[0], ys[-1], rtol=1e-4, atol=1e-5)

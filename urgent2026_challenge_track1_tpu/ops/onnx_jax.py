@@ -226,6 +226,50 @@ def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
     return y, jnp.stack(hts), jnp.stack(cts)
 
 
+def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
+    """ONNX GRU (zrh gate order), layout=0: x is (T, B, I)."""
+    if seq_lens is not None:
+        raise ValueError("GRU sequence_lens input is not supported")
+    hidden = node.attrs["hidden_size"]
+    direction = node.attrs.get("direction", "forward")
+    lbr = node.attrs.get("linear_before_reset", 0)
+    num_dir = 2 if direction == "bidirectional" else 1
+    T, B, _ = x.shape
+    if b is None:
+        b = jnp.zeros((num_dir, 6 * hidden), x.dtype)
+    if h0 is None:
+        h0 = jnp.zeros((num_dir, B, hidden), x.dtype)
+
+    def run_dir(xd, wd, rd, bd, h):
+        H = hidden
+        wb, rb = bd[: 3 * H], bd[3 * H :]
+        pre_x = xd @ wd.T + wb  # (T, B, 3H)
+
+        def step(h, px):
+            rec = h @ rd.T + rb  # (B, 3H)
+            z = jax.nn.sigmoid(px[:, :H] + rec[:, :H])
+            rt = jax.nn.sigmoid(px[:, H : 2 * H] + rec[:, H : 2 * H])
+            if lbr:
+                ht = jnp.tanh(px[:, 2 * H :] + rt * rec[:, 2 * H :])
+            else:
+                ht = jnp.tanh(px[:, 2 * H :] + (rt * h) @ rd[2 * H :].T + rb[2 * H :])
+            h = (1.0 - z) * ht + z * h
+            return h, h
+
+        h, hs = lax.scan(step, h, pre_x)
+        return hs, h
+
+    outs, hts = [], []
+    for d in range(num_dir):
+        xd = x[::-1] if (d == 1 or direction == "reverse") else x
+        hs, ht = run_dir(xd, w[d], r[d], b[d], h0[d])
+        if d == 1 or direction == "reverse":
+            hs = hs[::-1]
+        outs.append(hs)
+        hts.append(ht)
+    return jnp.stack(outs, axis=1), jnp.stack(hts)
+
+
 def _op_pad(node, x, pads=None, value=None):
     if pads is None:
         pads = node.attrs["pads"]
@@ -332,6 +376,7 @@ class OnnxGraphExecutor:
                 "ReduceMax",
                 "ReduceMin",
                 "LSTM",
+                "GRU",
                 "Pad",
                 "Expand",
                 "Split",
@@ -538,6 +583,8 @@ class OnnxGraphExecutor:
             return _reduce(jnp.min)(node, *args)
         if op == "LSTM":
             return _op_lstm(node, *args)
+        if op == "GRU":
+            return _op_gru(node, *args)
         if op == "Pad":
             return _op_pad(node, *args)
         if op == "Expand":
