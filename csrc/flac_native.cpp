@@ -102,14 +102,6 @@ uint64_t read_utf8(BitReader& br) {
     return v;
 }
 
-const int kFixedCoefs[5][4] = {
-    {0, 0, 0, 0},
-    {1, 0, 0, 0},
-    {2, -1, 0, 0},
-    {3, -3, 1, 0},
-    {-4 /*unused*/, 0, 0, 0},  // order-4 handled explicitly below
-};
-
 bool decode_residual(BitReader& br, int order, int blocksize, int64_t* res) {
     int method = (int)br.read(2);
     if (method > 1) return false;
@@ -178,7 +170,6 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) {
                               out[i - 4];
                 break;
         }
-        (void)kFixedCoefs;
     } else if (type >= 32) {  // LPC, order 1-32
         int order = (type & 31) + 1;
         for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);

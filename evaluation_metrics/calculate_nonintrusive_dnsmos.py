@@ -77,6 +77,10 @@ def logmel_features(audio, fs=FS, n_mels=120, n_fft=321, hop=160):
 
 def score_one(sessions, audio, fs):
     primary, p808 = sessions
+    if len(audio) == 0:
+        # corrupt/zero-sample entry: NaN (excluded by the nanmean aggregation)
+        # instead of spinning forever in the tile-up loop below
+        return {"DNSMOS_OVRL": float("nan"), "P808_MOS": float("nan")}
     if fs != FS:
         audio = resample(audio[None], fs, FS, "soxr_hq")[0]
     need = int(INPUT_LENGTH * FS)

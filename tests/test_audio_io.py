@@ -68,3 +68,11 @@ def test_reference_shaped_helpers(tmp_path):
     audio_io.save_audio(x, str(p), 8000)
     audio, fs = audio_io.read_audio(str(p))
     assert audio.shape == (1, 100) and fs == 8000
+
+
+def test_flac_write_rejects_float_subtype(tmp_path):
+    import pytest
+    from urgent2026_challenge_track1_tpu.utils import audio_io
+
+    with pytest.raises(ValueError, match="FLAC"):
+        audio_io.write(str(tmp_path / "x.flac"), np.zeros(100), 16000, subtype="FLOAT")

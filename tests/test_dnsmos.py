@@ -132,3 +132,11 @@ def test_load_dnsmos_native_executor_end_to_end(tmp_path):
     assert set(scores) == {"DNSMOS_OVRL", "P808_MOS"}
     assert np.isfinite(scores["DNSMOS_OVRL"]) and np.isfinite(scores["P808_MOS"])
     assert 1.0 < scores["P808_MOS"] < 5.0
+
+
+def test_score_one_empty_audio_returns_nan():
+    """Zero-sample audio must not hang the tile-up loop (job-array workers
+    would spin forever); NaN is excluded by the nanmean aggregation."""
+    scores = dnsmos.score_one((_StubSession([[3.0, 3.5, 2.8]]), _StubSession([[3.3]])),
+                              np.zeros(0), 16000)
+    assert np.isnan(scores["DNSMOS_OVRL"]) and np.isnan(scores["P808_MOS"])

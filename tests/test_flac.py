@@ -121,3 +121,13 @@ def test_lpc_and_rice_escape_paths_decode():
     buf = flac.encode(x, fs, bits=16)
     y = flac._decode_py(buf).astype(np.float64)[:, 0] / 32768.0
     np.testing.assert_allclose(y, np.clip(x, -1, 32767 / 32768), atol=1.1 / 32768)
+
+
+def test_empty_flac_roundtrip():
+    """encode() of zero samples produces a valid header-only stream that
+    decode() returns as an empty array (WAV already behaved this way)."""
+    from urgent2026_challenge_track1_tpu.utils import flac
+
+    buf = flac.encode(np.zeros(0), 16000)
+    data, fs = flac.decode(buf)
+    assert data.shape[0] == 0 and fs == 16000

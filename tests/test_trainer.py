@@ -155,3 +155,14 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_use_pallas_lstm_typo_fails_fast(toy_dirs, tmp_path):
+    """An unrecognized use_pallas_lstm value must raise, not silently train
+    on the slow scan path (same fail-fast stance as unknown config keys)."""
+    import pytest
+    from urgent2026_challenge_track1_tpu.train import trainer as trainer_mod
+
+    cfg = _cfg(toy_dirs, tmp_path, use_pallas_lstm="ture")
+    with pytest.raises(ValueError, match="use_pallas_lstm"):
+        trainer_mod.build_model(cfg)

@@ -54,7 +54,7 @@ MAX_DISTURBANCE = 45.0
 # response matches the published C implementation's curve (see
 # tests/test_metrics.py golden vectors / scripts/calibrate_pesq.py)
 FREQ_SCALE_D = 13.2302
-FREQ_SCALE_A = 2.2675
+FREQ_SCALE_A = 2.9173
 
 # piecewise (Hz, dB) response applied before power measurements: flat in the
 # 350-3250 Hz band (P.862 level-alignment filter)
@@ -334,7 +334,10 @@ def _lpq_weight(fd: np.ndarray, tw: np.ndarray, p_syl: float, p_t: float) -> flo
         return 0.0
     hop = FRAMES_PER_SYLLABLE // 2
     vals = []
-    for s in range(0, max(n - hop, 1), hop):
+    # every window start < n, including the final partial window — the ITU
+    # loop runs while start_frame < stop_frame, so trailing frames get the
+    # same two-window coverage as the rest
+    for s in range(0, n, hop):
         seg = slice(s, min(s + FRAMES_PER_SYLLABLE, n))
         w = tw[seg]
         tot = float(w.sum())

@@ -135,111 +135,6 @@ def lstm_scan_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Fused bidirectional kernel (inference fast path): one grid computes the
-# forward direction at time i and the reverse direction at time T-1-i in the
-# same step — twice the MXU work per DMA wait, half the kernel launches.
-# ---------------------------------------------------------------------------
-
-
-def _fused_step(xp_ref, whh_ref, out_ref, h_s, c_s):
-    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
-        h_s[:].astype(xp_ref.dtype), whh_ref[:],
-        preferred_element_type=jnp.float32,
-    )
-    H = h_s.shape[-1]
-    i_g = jax.nn.sigmoid(gates[:, :H])
-    f_g = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g_g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o_g = jax.nn.sigmoid(gates[:, 3 * H :])
-    c = f_g * c_s[:] + i_g * g_g
-    h = o_g * jnp.tanh(c)
-    c_s[:] = c
-    h_s[:] = h
-    out_ref[0] = h.astype(out_ref.dtype)
-
-
-def _fused_bidir_kernel(xpf_ref, xpb_ref, wf_ref, wb_ref, outf_ref, outb_ref,
-                        hf, cf, hb, cb):
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for s in (hf, cf, hb, cb):
-            s[:] = jnp.zeros_like(s)
-
-    _fused_step(xpf_ref, wf_ref, outf_ref, hf, cf)
-    _fused_step(xpb_ref, wb_ref, outb_ref, hb, cb)
-
-
-def _fused_bidir_kernel_blocked(xpf_ref, xpb_ref, wf_ref, wb_ref,
-                                outf_ref, outb_ref, hf, cf, hb, cb):
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        for s in (hf, cf, hb, cb):
-            s[:] = jnp.zeros_like(s)
-
-    _fused_step(xpf_ref, wf_ref, outf_ref, hf, cf)
-    _fused_step(xpb_ref, wb_ref, outb_ref, hb, cb)
-
-
-def _bidir_forward(proj, w_f, w_b, b_block, interpret):
-    """proj (B, T, 8H) fused input projection -> (out_f, out_b) each (T, B, H),
-    time-major."""
-    B, T, eightH = proj.shape
-    fourH = eightH // 2
-    H = fourH // 4
-    dtype = proj.dtype
-    xs = jnp.swapaxes(proj, 0, 1)  # (T, B, 8H)
-    xpf, xpb = xs[..., :fourH], xs[..., fourH:]
-    out_shapes = (
-        jax.ShapeDtypeStruct((T, B, H), dtype),
-        jax.ShapeDtypeStruct((T, B, H), dtype),
-    )
-    params_kw = _vmem_params(interpret)
-    if b_block <= 0 or b_block >= B:
-        fidx = lambda i: (i, 0, 0)
-        ridx = lambda i: (T - 1 - i, 0, 0)
-        return pl.pallas_call(
-            _fused_bidir_kernel,
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, B, fourH), fidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, fourH), ridx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, fourH), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, fourH), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, B, H), fidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, H), ridx, memory_space=pltpu.VMEM),
-            ),
-            out_shape=out_shapes,
-            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32) for _ in range(4)],
-            interpret=interpret,
-            **params_kw,
-        )(xpf, xpb, w_f.astype(dtype), w_b.astype(dtype))
-    assert B % b_block == 0, (B, b_block)
-    nb = B // b_block
-    fidx = lambda b, t: (t, b, 0)
-    ridx = lambda b, t: (T - 1 - t, b, 0)
-    return pl.pallas_call(
-        _fused_bidir_kernel_blocked,
-        grid=(nb, T),
-        in_specs=[
-            pl.BlockSpec((1, b_block, fourH), fidx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_block, fourH), ridx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, fourH), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, fourH), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, b_block, H), fidx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_block, H), ridx, memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((b_block, H), jnp.float32) for _ in range(4)],
-        interpret=interpret,
-        **params_kw,
-    )(xpf, xpb, w_f.astype(dtype), w_b.astype(dtype))
-
-
-# ---------------------------------------------------------------------------
 # Fused-input bidirectional kernel: streams the RAW inputs (N wide) and does
 # BOTH matmuls (x@W_ih + h@W_hh) per step with all four weight blocks
 # resident in VMEM.  vs. the hoisted-projection kernel this cuts the HBM
@@ -407,39 +302,6 @@ def _fusedin_bwd(b_block, interpret, res, g_out):
 
 
 lstm_pallas_bidir_fusedin.defvjp(_fusedin_fwd, _fusedin_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def lstm_pallas_bidir(proj, w_f, w_b, b_block=0, interpret=False):
-    """Bidirectional recurrence on the fused kernel.  proj (B, T, 8H) holds
-    both directions' input projections; returns (B, T, 2H) (fwd ++ bwd).
-    Differentiable: the VJP reuses the residual-storing per-direction
-    kernels, so training numerics are identical to lstm_pallas_train."""
-    out_f, out_b = _bidir_forward(proj, w_f, w_b, b_block, interpret)
-    return jnp.concatenate(
-        [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1
-    )
-
-
-def _bidir_fwd(proj, w_f, w_b, b_block, interpret):
-    fourH = proj.shape[-1] // 2
-    out_f, gates_f, c_f = _train_forward(proj[..., :fourH], w_f, False, b_block, interpret)
-    out_b, gates_b, c_b = _train_forward(proj[..., fourH:], w_b, True, b_block, interpret)
-    out = jnp.concatenate(
-        [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1
-    )
-    return out, ((out_f, gates_f, c_f, w_f), (out_b, gates_b, c_b, w_b))
-
-
-def _bidir_bwd(b_block, interpret, res, g_out):
-    res_f, res_b = res
-    H = res_f[0].shape[-1]
-    dxp_f, dw_f = _lstm_train_bwd(False, b_block, interpret, res_f, g_out[..., :H])
-    dxp_b, dw_b = _lstm_train_bwd(True, b_block, interpret, res_b, g_out[..., H:])
-    return jnp.concatenate([dxp_f, dxp_b], axis=-1), dw_f, dw_b
-
-
-lstm_pallas_bidir.defvjp(_bidir_fwd, _bidir_bwd)
 
 
 # ---------------------------------------------------------------------------

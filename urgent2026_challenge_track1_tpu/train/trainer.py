@@ -64,7 +64,15 @@ def _resolve_use_pallas(cfg: Config) -> bool:
     v = str(getattr(cfg, "use_pallas_lstm", "auto")).lower()
     if v == "auto":
         return jax.default_backend() == "tpu"
-    return v in ("true", "1", "yes")
+    if v in ("true", "1", "yes"):
+        return True
+    if v in ("false", "0", "no"):
+        return False
+    # fail fast like unknown config keys do — a typo here would silently
+    # train a multi-hour run on the slow scan path
+    raise ValueError(
+        f"use_pallas_lstm={cfg.use_pallas_lstm!r}: expected auto/true/false"
+    )
 
 
 def build_model(cfg: Config) -> ModelBundle:

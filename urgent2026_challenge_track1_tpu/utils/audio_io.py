@@ -184,7 +184,13 @@ def write(path: str, data: np.ndarray, samplerate: int, subtype: Optional[str] =
     if str(path).lower().endswith(".flac"):
         from urgent2026_challenge_track1_tpu.utils import flac
 
-        bits = {None: 16, "PCM_16": 16, "PCM_24": 24}.get(subtype, 16)
+        try:
+            bits = {None: 16, "PCM_16": 16, "PCM_24": 24}[subtype]
+        except KeyError:
+            raise ValueError(
+                f"unsupported FLAC subtype {subtype!r} (PCM_16/PCM_24; FLAC "
+                "has no float subtypes)"
+            ) from None
         with open(path, "wb") as f:
             f.write(flac.encode(data, samplerate, bits=bits))
         return

@@ -103,9 +103,26 @@ def probe(buf: bytes) -> tuple[int, int, int, int]:
     raise ValueError("FLAC stream has no STREAMINFO")
 
 
+def _frames_offset(buf: bytes) -> int:
+    """Byte offset of the first audio frame (after the metadata blocks)."""
+    pos = 4
+    while pos + 4 <= len(buf):
+        last = buf[pos] >> 7
+        pos += 4 + int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        if last:
+            break
+    return pos
+
+
 def decode(buf: bytes) -> tuple[np.ndarray, int]:
     """FLAC bytes -> (float64 (T,) or (T, C) in [-1, 1), fs)."""
     total, fs, ch, bps = probe(buf)
+    if total == 0 and _frames_offset(buf) >= len(buf):
+        # genuinely empty stream (encode() of zero samples writes this):
+        # STREAMINFO total 0 is also used for unknown-length piped encodes,
+        # so only a stream with no frame bytes at all is treated as empty
+        empty = np.zeros((0, ch), np.float64)
+        return (empty[:, 0] if ch == 1 else empty), fs
     lib = _load()
     if lib is not None:
         arr = np.frombuffer(buf, np.uint8)
