@@ -125,3 +125,34 @@ def test_device_render_on_dp_mesh(dm_sources):
     assert np.isfinite(np.asarray(target)).all()
     # output carries the dp sharding through the jitted render
     assert "dp" in str(target.sharding)
+
+
+def test_codec_recipes_take_host_path(dm_sources):
+    """Codec augmentation is host-only (libavcodec round-trip): items whose
+    recipe contains codec must arrive prerendered, not silently lose the
+    augmentation in the device chain."""
+    from urgent2026_challenge_track1_tpu.simulation import dsp as sim_dsp
+
+    if not sim_dsp.codecs_available():
+        pytest.skip("no codec backend")
+    np.random.seed(1)
+    ds = DynamicMixingSourceDataset(
+        speech_source_scp=dm_sources["speech"],
+        noise_source_scp=dm_sources["noise"],
+        rir_scp=dm_sources["rir"],
+        windnoise_scp=dm_sources["wind"],
+        speech_length_file=dm_sources["length"],
+        max_duration=16000,
+    )
+    # force codec augmentation on every item
+    ds.augmentations = ["codec"]
+    ds.weight_augmentations = np.array([1.0])
+    ds.cfg.num_augmentations = {1: 1.0}
+    ds.cfg.prob_wind_noise = 0.0
+    found_prerendered = False
+    for i in range(len(ds)):
+        item = ds[i]
+        if item["prerendered"]:
+            found_prerendered = True
+            assert "clean" in item and "noisy" in item
+    assert found_prerendered, "codec recipes never took the host-render path"

@@ -83,8 +83,10 @@ class DynamicMixingSourceDataset(DynamicMixingDataset):
         info["id"] = speech_uid
         info["snr_dB"] = info["snr"]
 
-        if info["noise_uid"].startswith("wind_noise"):
-            # wind path: render fully on host (sequential compressor)
+        if info["noise_uid"].startswith("wind_noise") or "codec" in info["augmentation"]:
+            # host-render path: the wind sidechain compressor is sequential
+            # and the codec round-trip (libavcodec) is inherently host-side;
+            # both would otherwise be silently dropped from the device chain
             clean, noisy, fs = sim_render.render_one(
                 info, speech_dic=self.speech_source_flt,
                 noise_dic=self.all_noise_flt, rir_dic=self.rirs_flt,
