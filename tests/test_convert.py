@@ -227,8 +227,11 @@ def test_discriminative_full_forward_matches_torch(fs, F):
     np.testing.assert_allclose(out.imag, ref_out.imag, atol=2e-4)
 
 
-@pytest.mark.parametrize("fs,F", [(8000, 129), (48000, 769)])
+@pytest.mark.parametrize("fs,F", [(8000, 129), (16000, 257), (48000, 769)])
 def test_flowse_full_forward_matches_torch(fs, F):
+    """fs=16000 is the band-overhang case: the last used band spans past
+    n_bins, so the 5x5 conv must see the real overhang rows (reference
+    slices [0:F] AFTER the conv, models/bsrnn_flowse.py:163-167,313-314)."""
     from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
     from tests.torch_ref_bsrnn import FlowBSRNN
 

@@ -138,3 +138,25 @@ def test_prefetch_loader_yields_all(toy_dataset):
         assert clean.ndim == 3
         n += 1
     assert n == len(sampler)
+
+
+def test_sample_recipe_terminates_with_reduced_pool(monkeypatch, tmp_path):
+    """With codec dropped (3-item pool), num_aug=3 + wind used to re-roll
+    forever (clipping always drawn); the clipping-free cap must bound it."""
+    import numpy as np
+
+    from urgent2026_challenge_track1_tpu.data.dynamic import DynamicMixingDataset
+
+    ds = DynamicMixingDataset.__new__(DynamicMixingDataset)
+    ds.augmentations = ["bandwidth_limitation", "clipping", "packet_loss"]
+    ds.weight_augmentations = np.ones(3) / 3
+    class _Cfg:
+        prob_wind_noise = 1.0  # always wind
+        num_augmentations = {3: 1.0}  # always ask for 3
+    ds.cfg = _Cfg()
+    np.random.seed(0)
+    for _ in range(20):
+        use_wind, aug = ds._sample_recipe()
+        assert use_wind
+        assert "clipping" not in aug
+        assert len(aug) == 2  # capped at the clipping-free pool size

@@ -125,3 +125,27 @@ def test_render_batch_end_to_end(sig):
     # packet loss zeroed item 1's packets
     pk = 20 * fs // 1000
     assert np.abs(noisy[1, 3 * pk : 5 * pk]).max() < 1e-7
+
+
+def test_quantile_clip_masked_matches_unpadded():
+    """Quantiles must be computed over the true item extent: bucket padding
+    zeros would otherwise drag both quantiles toward 0 (host renderer
+    computes them on the exact-length signal)."""
+    import numpy as np
+
+    from urgent2026_challenge_track1_tpu.simulation import jax_dsp
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(3000)
+    padded = np.zeros(8000)
+    padded[:3000] = x
+    want = np.asarray(
+        jax_dsp.quantile_clip(x[None], np.array([0.05]), np.array([0.95]))
+    )[0]
+    got = np.asarray(
+        jax_dsp.quantile_clip(
+            padded[None], np.array([0.05]), np.array([0.95]), lengths=np.array([3000])
+        )
+    )[0]
+    np.testing.assert_allclose(got[:3000], want, rtol=1e-5, atol=1e-6)
+    assert np.all(got[3000:] == 0.0), "padding must stay zero"

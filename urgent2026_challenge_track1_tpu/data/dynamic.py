@@ -105,13 +105,23 @@ class DynamicMixingDataset:
 
     # -- simulation ----------------------------------------------------------
 
-    def run_simulation(self, speech_uid, speech_length, sr):
+    def _sample_recipe(self):
+        """(use_wind_noise, aug): the augmentation-chain draw shared by the
+        host and on-device datasets (reference dataset.py:232-257)."""
         use_wind_noise = np.random.random() < self.cfg.prob_wind_noise
         num_aug = np.random.choice(
             list(self.cfg.num_augmentations.keys()),
             p=list(self.cfg.num_augmentations.values()),
         )
         num_aug = min(num_aug, len(self.augmentations))
+        if use_wind_noise:
+            # wind-noise simulation already clips; the re-roll below rejects
+            # chains containing clipping, so cap num_aug at the clipping-free
+            # pool size or the rejection loop could never terminate (the
+            # reference always has a 4-item pool; ours may have dropped codec)
+            num_aug = min(
+                num_aug, len([a for a in self.augmentations if a != "clipping"])
+            )
         if num_aug == 0:
             aug = "none"
         else:
@@ -119,12 +129,16 @@ class DynamicMixingDataset:
                 self.augmentations, p=self.weight_augmentations,
                 size=num_aug, replace=False,
             )
-            # wind-noise simulation already clips; never double-apply
+            # never double-apply clipping on top of the wind-noise clip
             while use_wind_noise and "clipping" in aug:
                 aug = np.random.choice(
                     self.augmentations, p=self.weight_augmentations,
                     size=num_aug, replace=False,
                 )
+        return use_wind_noise, aug
+
+    def run_simulation(self, speech_uid, speech_length, sr):
+        use_wind_noise, aug = self._sample_recipe()
 
         info = sim_params.sample_meta(
             self.cfg,

@@ -49,24 +49,7 @@ class DynamicMixingSourceDataset(DynamicMixingDataset):
 
         import urgent2026_challenge_track1_tpu.simulation.params as sim_params
 
-        use_wind_noise = np.random.random() < self.cfg.prob_wind_noise
-        num_aug = np.random.choice(
-            list(self.cfg.num_augmentations.keys()),
-            p=list(self.cfg.num_augmentations.values()),
-        )
-        num_aug = min(num_aug, len(self.augmentations))
-        if num_aug == 0:
-            aug = "none"
-        else:
-            aug = np.random.choice(
-                self.augmentations, p=self.weight_augmentations,
-                size=num_aug, replace=False,
-            )
-            while use_wind_noise and "clipping" in aug:
-                aug = np.random.choice(
-                    self.augmentations, p=self.weight_augmentations,
-                    size=num_aug, replace=False,
-                )
+        use_wind_noise, aug = self._sample_recipe()
         info = sim_params.sample_meta(
             self.cfg, speech_length, speech_fs,
             noise_dic=self.noise_source, used_noise_dic=None,
@@ -208,21 +191,49 @@ def collate_device_render(items, pad_quantum_ms: int = 1000) -> DeviceRenderBatc
     return out
 
 
+_RENDER_JIT = None  # module-level: one jit wrapper, shape-keyed cache inside
+
+
+def _get_render_jit():
+    global _RENDER_JIT
+    if _RENDER_JIT is None:
+        import functools
+
+        import jax
+
+        from urgent2026_challenge_track1_tpu.simulation.jax_dsp import render_batch
+
+        @functools.partial(jax.jit, static_argnames=("fs", "highpass"))
+        def _render(speech, noise, rir, snr_db, use_rir, clip_lo, clip_hi,
+                    packet_mask, bw_mask, pre_mask, clean_pre, noisy_pre,
+                    lengths, fs, highpass):
+            target, noisy = render_batch(
+                speech, noise, rir, snr_db, use_rir, clip_lo, clip_hi,
+                packet_mask, bw_mask, fs=fs, highpass=highpass, lengths=lengths,
+            )
+            m = pre_mask[:, None]
+            return (
+                (1 - m) * target + m * clean_pre,
+                (1 - m) * noisy + m * noisy_pre,
+            )
+
+        _RENDER_JIT = _render
+    return _RENDER_JIT
+
+
 def render_on_device(batch: DeviceRenderBatch, highpass: bool = True, mesh=None):
-    """Run jax_dsp.render_batch and merge pre-rendered (wind) items.
+    """Run jax_dsp.render_batch and merge pre-rendered (wind/codec) items.
 
     With ``mesh`` the batch arrays are placed batch-sharded over ``dp`` first
-    so rendering and the subsequent train step stay SPMD."""
-    import functools
-
-    import jax
+    so rendering and the subsequent train step stay SPMD.  The jitted program
+    is a module-level singleton — re-wrapping per call would re-trace the
+    augmentation graph on every training batch."""
     import jax.numpy as jnp
-
-    from urgent2026_challenge_track1_tpu.simulation.jax_dsp import render_batch
 
     keys = [
         "speech", "noise", "rir", "snr_db", "use_rir", "clip_lo", "clip_hi",
         "packet_mask", "bw_mask", "prerendered_mask", "clean_pre", "noisy_pre",
+        "lengths",
     ]
     arrays = [batch[k] for k in keys]
     if mesh is not None:
@@ -232,18 +243,4 @@ def render_on_device(batch: DeviceRenderBatch, highpass: bool = True, mesh=None)
     else:
         arrays = [jnp.asarray(a) for a in arrays]
 
-    @functools.partial(jax.jit, static_argnames=("fs", "highpass"))
-    def _render(speech, noise, rir, snr_db, use_rir, clip_lo, clip_hi,
-                packet_mask, bw_mask, pre_mask, clean_pre, noisy_pre,
-                fs, highpass):
-        target, noisy = render_batch(
-            speech, noise, rir, snr_db, use_rir, clip_lo, clip_hi,
-            packet_mask, bw_mask, fs=fs, highpass=highpass,
-        )
-        m = pre_mask[:, None]
-        return (
-            (1 - m) * target + m * clean_pre,
-            (1 - m) * noisy + m * noisy_pre,
-        )
-
-    return _render(*arrays, fs=batch["fs"], highpass=highpass)
+    return _get_render_jit()(*arrays, fs=batch["fs"], highpass=highpass)

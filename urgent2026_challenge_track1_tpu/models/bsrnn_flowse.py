@@ -119,8 +119,15 @@ def _init_grad_decoder(key, cfg: B.BSRNNConfig):
 def _grad_decoder_head(p, z, cfg: B.BSRNNConfig, n_bands: int, n_bins: int, eps):
     """(B, T, K, N) -> (B, T, n_bins) complex."""
     Bb, T, K, N = z.shape
-    _, _, flat_valid = B._band_maps(cfg.subbands, n_bins, n_bands)
     sc, SM = cfg.sub_channel, cfg.max_sub
+    # ALL rows of the K used bands, including the last band's overhang past
+    # n_bins: the reference concatenates every subband row, runs the 5x5
+    # conv, THEN slices [:n_bins] (models/bsrnn_flowse.py:163-167), so the
+    # top output bins see the real overhang activations, not zeros
+    subs = cfg.subbands[:n_bands]
+    flat_full = np.concatenate(
+        [np.arange(s) + i * SM for i, s in enumerate(subs)]
+    ).astype(np.int32)
     # per-band GroupNorm(1, C) over (C, T)
     mean = jnp.mean(z, axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(z - mean), axis=(1, 3), keepdims=True)
@@ -129,10 +136,10 @@ def _grad_decoder_head(p, z, cfg: B.BSRNNConfig, n_bands: int, n_bins: int, eps)
     h = jnp.tanh(
         jnp.einsum("btkc,kcsm->btksm", h, p["w"][:n_bands]) + p["b"][:n_bands][None, None]
     )  # (B, T, K, sc, SM)
-    # concat bands along frequency (valid bins only) -> (B, T, F_eff, sc)
+    # concat bands along frequency (full subband rows) -> (B, T, sc, F_total)
     flat = h.transpose(0, 1, 3, 2, 4).reshape(Bb, T, sc, K * SM)
-    feff = flat[..., jnp.asarray(flat_valid)]  # (B, T, sc, F_eff)
-    img = feff.transpose(0, 3, 1, 2)  # (B, F_eff, T, sc): NHWC with H=F, W=T
+    feff = flat[..., jnp.asarray(flat_full)]  # (B, T, sc, F_total)
+    img = feff.transpose(0, 3, 1, 2)  # (B, F_total, T, sc): NHWC, H=F, W=T
     out = jax.lax.conv_general_dilated(
         img,
         p["conv_w"],
@@ -142,8 +149,8 @@ def _grad_decoder_head(p, z, cfg: B.BSRNNConfig, n_bands: int, n_bins: int, eps)
     ) + p["conv_b"]
     a, g = out[..., :2], out[..., 2:]
     out = a * jax.nn.sigmoid(g)  # (B, F, T, 2): GLU(dim=1) on (B,4,F,T)
-    cplx = jax.lax.complex(out[..., 0], out[..., 1])  # (B, F, T)
-    return cplx.transpose(0, 2, 1)  # (B, T, F)
+    cplx = jax.lax.complex(out[..., 0], out[..., 1])  # (B, F_total, T)
+    return cplx[:, :n_bins].transpose(0, 2, 1)  # (B, T, n_bins)
 
 
 # ---------------------------------------------------------------------------

@@ -180,7 +180,10 @@ def sgmse_enhance(
     dt = -(sde.T - cfg.t_eps) / (N - 1)
 
     def flat_norm(v):
-        return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2))
+        # per-item L2 over non-batch dims, then batch mean (espnet corrector:
+        # torch.norm(x.reshape(B, -1), dim=-1).mean()) — a whole-batch norm
+        # would couple the Langevin step size across unrelated utterances
+        return jnp.mean(jnp.sqrt(jnp.sum(jnp.abs(v.reshape(v.shape[0], -1)) ** 2, axis=-1)))
 
     def step(carry, t):
         x, key = carry

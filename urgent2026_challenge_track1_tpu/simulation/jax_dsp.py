@@ -100,15 +100,34 @@ def early_rir_mask(rir: jnp.ndarray, fs: int, early_sec: float = 0.05,
     return (pos[None, :] < stop[:, None]).astype(rir.dtype)
 
 
-def quantile_clip(x: jnp.ndarray, min_q: jnp.ndarray, max_q: jnp.ndarray):
-    """Per-item quantile clipping (renderer clipping augmentation)."""
+def quantile_clip(
+    x: jnp.ndarray, min_q: jnp.ndarray, max_q: jnp.ndarray, lengths=None
+):
+    """Per-item quantile clipping (renderer clipping augmentation).
 
-    def one(xi, lo_q, hi_q):
-        lo = jnp.quantile(xi, lo_q)
-        hi = jnp.quantile(xi, hi_q)
-        return jnp.clip(xi, lo, hi)
+    With ``lengths`` (B,) the quantiles are computed over each item's true
+    extent only — bucket zero-padding would otherwise pull both quantiles
+    toward 0 and clip far harder than the host renderer for the same recipe
+    (clipped values outside the valid extent are restored to the padding)."""
+    if lengths is None:
+        def one(xi, lo_q, hi_q):
+            lo = jnp.quantile(xi, lo_q)
+            hi = jnp.quantile(xi, hi_q)
+            return jnp.clip(xi, lo, hi)
 
-    return jax.vmap(one)(x, min_q, max_q)
+        return jax.vmap(one)(x, min_q, max_q)
+
+    T = x.shape[-1]
+    pos = jnp.arange(T)
+
+    def one(xi, lo_q, hi_q, n):
+        valid = pos < n
+        xv = jnp.where(valid, xi, jnp.nan)
+        lo = jnp.nanquantile(xv, lo_q)
+        hi = jnp.nanquantile(xv, hi_q)
+        return jnp.where(valid, jnp.clip(xi, lo, hi), xi)
+
+    return jax.vmap(one)(x, min_q, max_q, jnp.asarray(lengths))
 
 
 def apply_packet_loss(x: jnp.ndarray, packet_mask: jnp.ndarray) -> jnp.ndarray:
@@ -172,6 +191,7 @@ def render_batch(
     bw_mask: jnp.ndarray,    # (B, F_rfft) precomputed low-pass masks (1=pass)
     fs: int,
     highpass: bool = True,
+    lengths=None,            # (B,) true item lengths (for masked quantiles)
 ):
     """One jitted program augmenting a whole (fs, T) bucket on device.
 
@@ -192,7 +212,7 @@ def render_batch(
     T = speech.shape[-1]
     spec = jnp.fft.rfft(noisy, T)
     noisy = jnp.fft.irfft(spec * bw_mask, T)
-    noisy = quantile_clip(noisy, clip_lo, clip_hi)
+    noisy = quantile_clip(noisy, clip_lo, clip_hi, lengths=lengths)
     noisy = apply_packet_loss(noisy, packet_mask)
     peak = jnp.maximum(
         jnp.max(jnp.abs(noisy), -1),

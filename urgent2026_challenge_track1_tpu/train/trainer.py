@@ -538,7 +538,9 @@ class Trainer:
                 if state.step % cfg.log_every_steps == 0:
                     logd = {f"train_{k}": float(v) for k, v in metrics.items()}
                     logd["step_time"] = time.time() - t0
-                    logd[f"train_sisnr_{fs}"] = logd.get("train_sisnr", 0.0)
+                    if "train_sisnr" in logd:  # discriminative only — the
+                        # flow step has no SI-SNR metric (reference parity)
+                        logd[f"train_sisnr_{fs}"] = logd["train_sisnr"]
                     self.logger.log(state.step, logd)
                 if state.step % cfg.val_check_interval == 0:
                     vm = self.validate(state)
