@@ -149,3 +149,29 @@ def test_quantile_clip_masked_matches_unpadded():
     )[0]
     np.testing.assert_allclose(got[:3000], want, rtol=1e-5, atol=1e-6)
     assert np.all(got[3000:] == 0.0), "padding must stay zero"
+
+
+def test_mix_at_snr_masked_matches_unpadded():
+    """Achieved SNR must not depend on bucket padding: VAD statistics are
+    computed over the true item extent when lengths is given."""
+    import numpy as np
+
+    from urgent2026_challenge_track1_tpu.simulation import jax_dsp
+
+    rng = np.random.default_rng(3)
+    T = 32000
+    sp = 0.3 * np.sin(2 * np.pi * 220 * np.arange(T) / 16000) * (
+        np.clip(np.sin(2 * np.pi * 3 * np.arange(T) / 16000), 0, None) + 0.1
+    )
+    nz = 0.1 * rng.standard_normal(T)
+    want_noisy, want_scaled = jax_dsp.mix_at_snr(
+        np.asarray(sp)[None], np.asarray(nz)[None], np.array([10.0])
+    )
+    padded_sp = np.pad(sp, (0, T))[None]
+    padded_nz = np.pad(nz, (0, T))[None]
+    got_noisy, got_scaled = jax_dsp.mix_at_snr(
+        padded_sp, padded_nz, np.array([10.0]), lengths=np.array([T])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_scaled)[0, :T], np.asarray(want_scaled)[0], rtol=1e-4
+    )

@@ -183,3 +183,13 @@ def test_breakdown_cli(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "fs=16000Hz" in r.stdout and "with_rir" in r.stdout
     assert "corpus=vctk" in r.stdout and "clipping" in r.stdout
+
+
+def test_whisper_basic_keeps_precomposed_accents():
+    """Whisper BasicTextNormalizer uses NFKC: accented letters survive as
+    single tokens (NFKD would split 'naïve' into 'nai ve' via the combining
+    mark -> space replacement)."""
+    from urgent2026_challenge_track1_tpu.metrics.text import whisper_basic_normalize
+
+    assert whisper_basic_normalize("Naïve CAFÉ!") == "naïve café"
+    assert whisper_basic_normalize("hello, world (noise) [tag]") == "hello world"

@@ -236,3 +236,16 @@ def test_dynamic_mixing_end_to_end(dm_sources):
         assert peak <= 0.9 + 1e-6
         # noisy differs from clean (something was mixed in)
         assert np.abs(noisy - clean).max() > 1e-4
+
+
+@pytest.mark.parametrize("res_type", ["soxr_hq", "kaiser_best", "kaiser_fast", "polyphase", "scipy"])
+@pytest.mark.parametrize("orig,tgt", [(16000, 48000), (44100, 16000), (16000, 22050)])
+def test_resample_unity_gain(res_type, orig, tgt):
+    """scipy.resample_poly multiplies array windows by `up` itself; a
+    pre-scaled filter made upsampling gain up-fold (e.g. 160x for
+    44.1k->16k), corrupting every bandwidth-limited render."""
+    t = np.arange(orig) / orig
+    x = np.sin(2 * np.pi * 440 * t)[None]
+    y = dsp.resample(x, orig, tgt, res_type)
+    peak = float(np.abs(y).max())
+    assert 0.9 < peak < 1.1, (res_type, orig, tgt, peak)

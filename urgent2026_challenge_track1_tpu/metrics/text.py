@@ -85,8 +85,11 @@ def whisper_basic_normalize(s: str) -> str:
     characters in Unicode categories M/S/P, collapse whitespace."""
     s = s.lower()
     s = _BRACKETS.sub("", s)
+    # NFKC like Whisper (NOT NFKD: decomposition would turn precomposed
+    # accented letters into base + combining mark, and the mark — category
+    # Mn — would become a space, splitting 'naïve' into 'nai ve')
     s = "".join(
         " " if unicodedata.category(c)[0] in "MSP" else c
-        for c in unicodedata.normalize("NFKD", s)
+        for c in unicodedata.normalize("NFKC", s)
     )
     return re.sub(r"\s+", " ", s).strip()

@@ -113,13 +113,16 @@ def high_pass_filter(x: np.ndarray, fs: int) -> np.ndarray:
 
 @lru_cache(maxsize=256)
 def _kaiser_fir(up: int, down: int, num_zeros: int, beta: float, rolloff: float):
-    """Windowed-sinc anti-aliasing filter for polyphase resampling, scaled for
-    scipy.resample_poly (which applies array windows as-is)."""
+    """Windowed-sinc anti-aliasing filter for polyphase resampling.
+
+    NOTE: scipy.signal.resample_poly multiplies the window by ``up`` itself
+    (``h *= up`` in its source, also for user-provided arrays) — the filter
+    must therefore be unity-gain here or upsampling gains ``up``x."""
     max_rate = max(up, down)
     cutoff = rolloff / max_rate  # normalized to upsampled Nyquist
     half = num_zeros * max_rate
     n = 2 * half + 1
-    return up * scipy.signal.firwin(n, cutoff, window=("kaiser", beta))
+    return scipy.signal.firwin(n, cutoff, window=("kaiser", beta))
 
 
 def resample(x: np.ndarray, orig_sr: int, target_sr: int, res_type: str = "soxr_hq"):

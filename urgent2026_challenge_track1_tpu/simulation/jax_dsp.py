@@ -13,8 +13,14 @@ Deviations from the host renderer (simulation/dsp.py), documented:
     version skips the decimation grid so there are no aliasing images);
   * quantile clipping uses jnp.quantile (linear interpolation, same as
     numpy default);
-  * the wind-noise sidechain compressor stays on host (sequential C++
-    kernel; wind items are p=0.05 of batches).
+  * augmentations apply in a FIXED order (bandwidth -> clipping -> packet
+    loss) inside the single jitted program, whereas the host renderer
+    applies the sampled chain order (affects the ~35% of items with 2+
+    augmentations; per-item op ordering is not jittable without a
+    permutation switch);
+  * the wind-noise sidechain compressor and the codec round-trip stay on
+    host (sequential C++ kernel / libavcodec; such items arrive
+    prerendered).
 """
 
 from __future__ import annotations
@@ -53,9 +59,14 @@ def fft_convolve(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
 
 def detect_non_silence_mask(
     x: jnp.ndarray, threshold: float = 0.01, frame_length: int = 1024,
-    frame_shift: int = 512,
+    frame_shift: int = 512, lengths=None,
 ) -> jnp.ndarray:
-    """Boolean VAD mask (..., T), espnet detect_non_silence semantics."""
+    """Boolean VAD mask (..., T), espnet detect_non_silence semantics.
+
+    With ``lengths`` (B,) only frames inside each item's true extent enter
+    the relative-threshold statistics — bucket zero-padding would otherwise
+    lower the mean power and shift every VAD decision vs the host renderer,
+    which frames the exact-length signal."""
     T = x.shape[-1]
     if T < frame_length:
         return jnp.ones_like(x, dtype=bool)
@@ -63,23 +74,42 @@ def detect_non_silence_mask(
     idx = np.arange(frame_length)[None, :] + frame_shift * np.arange(n)[:, None]
     framed = x[..., idx]
     power = jnp.mean(framed**2, axis=-1)
-    mean_power = jnp.mean(power, axis=-1, keepdims=True)
-    detect = power / jnp.maximum(mean_power, 1e-30) > threshold
-    detect = jnp.where(mean_power > 0, detect, True)
+    if lengths is None:
+        fvalid = jnp.ones_like(power, dtype=bool)
+    else:
+        starts = frame_shift * jnp.arange(n)
+        fvalid = starts[None, :] + frame_length <= jnp.asarray(lengths)[:, None]
+    n_valid = jnp.maximum(jnp.sum(fvalid, axis=-1, keepdims=True), 1)
+    mean_power = jnp.sum(power * fvalid, axis=-1, keepdims=True) / n_valid
+    detect = (power / jnp.maximum(mean_power, 1e-30) > threshold) & fvalid
+    detect = jnp.where(mean_power > 0, detect, fvalid)
     # expand each frame decision over frame_shift samples, edge-extend tail
     det = jnp.repeat(detect, frame_shift, axis=-1)
     pad = T - det.shape[-1]
     det = jnp.concatenate(
         [det, jnp.broadcast_to(det[..., -1:], det.shape[:-1] + (pad,))], axis=-1
     )
+    if lengths is not None:
+        # per-item edge-extension: samples between the last VALID frame's
+        # coverage and the item length take that frame's decision (exactly
+        # what the repeat+tail above does for an unpadded signal), and
+        # padding samples are always False
+        L = jnp.asarray(lengths)[:, None]
+        nv = jnp.sum(fvalid, axis=-1)
+        last = jnp.take_along_axis(detect, jnp.maximum(nv - 1, 0)[:, None], axis=-1)
+        cover = (nv * frame_shift)[:, None]
+        pos = jnp.arange(T)[None, :]
+        det = jnp.where(pos < cover, det, last)
+        det = det & (pos < L)
     return det
 
 
-def mix_at_snr(speech: jnp.ndarray, noise: jnp.ndarray, snr_db: jnp.ndarray):
-    """(B, T) mix at per-item SNR using VAD-masked powers.  Returns
-    (noisy, scaled_noise)."""
-    sm = detect_non_silence_mask(speech)
-    nm = detect_non_silence_mask(noise)
+def mix_at_snr(speech: jnp.ndarray, noise: jnp.ndarray, snr_db: jnp.ndarray,
+               lengths=None):
+    """(B, T) mix at per-item SNR using VAD-masked powers (over the true
+    item extents when ``lengths`` is given).  Returns (noisy, scaled_noise)."""
+    sm = detect_non_silence_mask(speech, lengths=lengths)
+    nm = detect_non_silence_mask(noise, lengths=lengths)
     p_s = jnp.sum(speech**2 * sm, axis=-1) / jnp.maximum(jnp.sum(sm, axis=-1), 1)
     p_n = jnp.sum(noise**2 * nm, axis=-1) / jnp.maximum(jnp.sum(nm, axis=-1), 1)
     scale = 10 ** (-snr_db / 20) * jnp.sqrt(p_s) / jnp.sqrt(jnp.maximum(p_n, 1e-10))
@@ -207,7 +237,7 @@ def render_batch(
     u = use_rir[:, None]
     noisy = u * full + (1 - u) * speech
     target = u * early + (1 - u) * speech
-    noisy, scaled_noise = mix_at_snr(noisy, noise, snr_db)
+    noisy, scaled_noise = mix_at_snr(noisy, noise, snr_db, lengths=lengths)
     # bandwidth limitation via per-item rfft masks
     T = speech.shape[-1]
     spec = jnp.fft.rfft(noisy, T)

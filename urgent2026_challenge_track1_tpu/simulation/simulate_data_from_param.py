@@ -15,7 +15,10 @@ import multiprocessing as mp
 from functools import partial
 from pathlib import Path
 
-from urgent2026_challenge_track1_tpu.simulation.generate_data_param import get_parser
+from urgent2026_challenge_track1_tpu.simulation.generate_data_param import (
+    _str2bool,
+    get_parser,
+)
 from urgent2026_challenge_track1_tpu.simulation.render import (  # noqa: F401
     process_one_sample,
     render_one,
@@ -61,7 +64,11 @@ def main(args):
         rir_dic=rir_dic,
         highpass=args.highpass,
     )
-    if args.nj <= 1:
+    import os
+
+    # a worker pool on a 1-core host only adds spawn/IPC overhead
+    nj = min(args.nj, os.cpu_count() or 1)
+    if nj <= 1:
         try:
             from tqdm import tqdm
         except ImportError:  # pragma: no cover
@@ -69,7 +76,7 @@ def main(args):
         for m in tqdm(meta):
             worker(m)
     else:
-        with mp.get_context("spawn").Pool(args.nj) as pool:
+        with mp.get_context("spawn").Pool(nj) as pool:
             for i, _ in enumerate(pool.imap_unordered(worker, meta, chunksize=args.chunksize)):
                 if i % 500 == 0:
                     print(f"rendered {i}/{len(meta)}", flush=True)
@@ -82,7 +89,11 @@ if __name__ == "__main__":
                    help="kept for reference parity; meta.tsv is read from --log_dir")
     g.add_argument("--nj", type=int, default=8)
     g.add_argument("--chunksize", type=int, default=1000)
-    g.add_argument("--highpass", type=bool, default=False)
+    # the reference uses type=bool here (:614), under which '--highpass
+    # False' silently enables the filter; _str2bool keeps the documented
+    # usage ('--highpass True', prepare_train_data.sh:109) identical while
+    # making False actually mean False
+    g.add_argument("--highpass", type=_str2bool, default=False)
     args = parser.parse_args()
     print(args)
     main(args)
