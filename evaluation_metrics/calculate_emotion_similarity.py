@@ -32,6 +32,7 @@ def main(args):
     for uid, ref_path, inf_path in pairs:
         ref, fs1 = audio_io.read(ref_path)
         inf, fs2 = audio_io.read(inf_path)
+        assert ref.ndim == 1 and inf.ndim == 1, (ref.shape, inf.shape)
         if fs1 != TARGET_FS:
             ref = resample(ref[None], fs1, TARGET_FS, "soxr_hq")[0]
         if fs2 != TARGET_FS:

@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from _shared import audio_io, base_parser, read_pairs
+from _shared import audio_io, base_parser, read_pairs, shard
 
 METRICS = ("PESQ", "ESTOI")
 
@@ -62,26 +62,37 @@ def process_one_pair(data_pair):
 
 
 def main(args):
+    import os
+
     pairs = read_pairs(args, need_ref=True)
-    if args.nj <= 1:
+    # every CLI in this directory shards by --nsplits/--job (eval_all.sh job
+    # arrays); without this, N jobs would each score the FULL list and
+    # clobber each other's unsuffixed outputs
+    pairs, suffix = shard(pairs, args)
+    nj = min(args.nj, os.cpu_count() or 1)  # worker pool on a 1-core host
+    #                                         only adds spawn/IPC overhead
+    if nj <= 1:
         ret = [process_one_pair(p) for p in pairs]
     else:
-        with get_context("spawn").Pool(args.nj) as pool:
+        with get_context("spawn").Pool(nj) as pool:
             ret = list(pool.imap(process_one_pair, pairs, chunksize=args.chunksize))
 
     outdir = Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
-    writers = {m: (outdir / f"{m}.scp").open("w") for m in METRICS}
+    writers = {m: (outdir / f"{m}{suffix}.scp").open("w") for m in METRICS}
     for uid, score in ret:
         for metric, value in score.items():
             writers[metric].write(f"{uid} {value}\n")
     for metric in METRICS:
         writers[metric].close()
-    with (outdir / "RESULTS.txt").open("w") as f:
-        for metric in METRICS:
-            mean_score = np.nanmean([score[metric] for _, score in ret])
-            f.write(f"{metric}: {mean_score:.4f}\n")
-    print(f"Overall results have been written in {outdir / 'RESULTS.txt'}", flush=True)
+    if args.nsplits == args.job == 1:
+        with (outdir / "RESULTS.txt").open("w") as f:
+            for metric in METRICS:
+                mean_score = np.nanmean([score[metric] for _, score in ret])
+                f.write(f"{metric}: {mean_score:.4f}\n")
+        print(f"Overall results have been written in {outdir / 'RESULTS.txt'}", flush=True)
+    else:
+        print(f"[Job {args.job}/{args.nsplits}] results written under {outdir}", flush=True)
 
 
 if __name__ == "__main__":

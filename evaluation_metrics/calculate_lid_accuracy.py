@@ -36,10 +36,17 @@ def main(args):
     ret = []
     for uid, path in pairs:
         audio, fs = audio_io.read(path)
+        assert audio.ndim == 1, audio.shape
         if fs != TARGET_FS:
             audio = resample(audio[None], fs, TARGET_FS, "soxr_hq")[0]
         result = model(audio.astype(np.float32))
-        pred_lang = result[0][0].split()[0].strip("<>") if result else "unk"
+        # (text, tokens, ...): the first TOKEN is the language tag, e.g.
+        # '<eng>' (reference predict_language_id returns tokens[0] and strips
+        # the brackets, calculate_lid_accuracy.py:74,160-162); parsing the
+        # detokenized text would glue adjacent special tokens together
+        pred_lang = (
+            result[0][1][0].replace("<", "").replace(">", "") if result else "unk"
+        )
         ret.append((uid, {"LIDAccuracy": float(pred_lang == labels[uid])}))
     write_results(args.output_dir, METRICS, ret, suffix)
 

@@ -11,6 +11,8 @@ of the window minus its last 160 samples.  Emits DNSMOS_OVRL (the
 reference's only output) plus P808_MOS.
 """
 
+import functools
+
 import numpy as np
 
 from _backends import BackendUnavailable, load_dnsmos
@@ -30,8 +32,10 @@ def _poly_fit(sig, bak, ovr):
     return p_sig(sig), p_bak(bak), p_ovr(ovr)
 
 
+@functools.lru_cache(maxsize=4)
 def _slaney_mel_matrix(fs=FS, n_fft=321, n_mels=120):
-    """librosa.filters.mel defaults: Slaney mel scale + Slaney (area) norm."""
+    """librosa.filters.mel defaults: Slaney mel scale + Slaney (area) norm.
+    Cached — it is rebuilt identically for every 9 s window otherwise."""
     def hz2mel(f):
         f = np.atleast_1d(np.asarray(f, np.float64))
         m = f / (200.0 / 3.0)
@@ -110,6 +114,7 @@ def main(args, sessions=None):
     ret = []
     for uid, path in pairs:
         audio, fs = audio_io.read(path)
+        assert audio.ndim == 1, audio.shape
         ret.append((uid, score_one(sessions, audio, fs)))
     write_results(args.output_dir, METRICS, ret, suffix)
 

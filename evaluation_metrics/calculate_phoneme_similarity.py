@@ -18,13 +18,16 @@ MODEL_ID = "facebook/wav2vec2-lv-60-espeak-cv-ft"
 
 
 def _phonemes(model, processor, audio, device):
+    """Space-stripped phoneme string — the reference scores at CHARACTER
+    level over ``predictor(x)[0].replace(" ", "")``
+    (calculate_phoneme_similarity.py:60-66)."""
     import torch
 
     inputs = processor(audio, sampling_rate=TARGET_FS, return_tensors="pt")
     with torch.no_grad():
         logits = model(inputs.input_values.to(device)).logits
     ids = torch.argmax(logits, dim=-1)
-    return processor.batch_decode(ids)[0].split()
+    return processor.batch_decode(ids)[0].replace(" ", "")
 
 
 def main(args):
@@ -45,14 +48,20 @@ def main(args):
     for uid, ref_path, inf_path in pairs:
         ref, fs1 = audio_io.read(ref_path)
         inf, fs2 = audio_io.read(inf_path)
+        assert ref.ndim == 1 and inf.ndim == 1, (ref.shape, inf.shape)
         if fs1 != TARGET_FS:
             ref = resample(ref[None], fs1, TARGET_FS, "soxr_hq")[0]
         if fs2 != TARGET_FS:
             inf = resample(inf[None], fs2, TARGET_FS, "soxr_hq")[0]
         ph_ref = _phonemes(model, processor, ref, args.device)
         ph_inf = _phonemes(model, processor, inf, args.device)
-        dist = levenshtein_distance(ph_ref, ph_inf)
-        score = 1.0 - dist / max(len(ph_ref), 1)
+        if len(ph_ref) == 0:
+            # silent/noise-only reference: NaN (excluded by nanmean), not a
+            # huge negative score (reference :63-64)
+            ret.append((uid, {"LPS": float("nan")}))
+            continue
+        dist = levenshtein_distance(list(ph_ref), list(ph_inf))
+        score = 1.0 - dist / len(ph_ref)
         ret.append((uid, {"LPS": score}))
     write_results(args.output_dir, METRICS, ret, suffix)
 

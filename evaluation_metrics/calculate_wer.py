@@ -27,11 +27,27 @@ BEAMSIZE = 5
 CHUNK_S = 30
 
 
-def owsm_predict(model, speech, fs, src_lang="eng", long_form=False):
-    """Greedy long-form chunking fallback for >30 s audio (owsm_utils.py:52-72)."""
+def _decode_segment(model, seg, fs, lang_sym, task_sym):
+    """One <=30 s OWSM decode with the reference's conditioning: per-utterance
+    language/task symbols, ~10 tokens/s maxlenratio, zero-pad to the 30 s
+    window (owsm_utils.py:80-83)."""
     import torch
 
+    model.maxlenratio = -min(300, max(10, int(len(seg) / fs * 10)))
+    pad = CHUNK_S * fs
+    if len(seg) < pad:
+        seg = np.pad(seg, (0, pad - len(seg)))
+    with torch.no_grad():
+        return model(seg, "<na>", lang_sym=lang_sym, task_sym=task_sym)[0][-2]
+
+
+def owsm_predict(model, speech, fs, src_lang="eng", long_form=False):
+    """OWSM ASR with greedy long-form chunking for >30 s audio
+    (owsm_utils.py:30-83; the reference's model.decode_long is espnet
+    internals — fixed 30 s chunks approximate it)."""
     model.beam_search.beam_size = BEAMSIZE
+    lang_sym = f"<{src_lang}>"
+    task_sym = "<asr>"
     if long_form:
         texts = []
         chunk = CHUNK_S * fs
@@ -39,11 +55,9 @@ def owsm_predict(model, speech, fs, src_lang="eng", long_form=False):
             seg = speech[st : st + chunk]
             if len(seg) < fs // 2:
                 break
-            with torch.no_grad():
-                texts.append(model(seg)[0][3])
+            texts.append(_decode_segment(model, seg, fs, lang_sym, task_sym))
         return " ".join(texts)
-    with torch.no_grad():
-        return model(speech)[0][3]
+    return _decode_segment(model, speech, fs, lang_sym, task_sym)
 
 
 def _account(ref_tokens, inf_tokens, ref_txt, inf_txt):
@@ -118,6 +132,7 @@ def main(args):
     writers = {m: (outdir / f"{m}{suffix}.scp").open("w") for m in METRICS}
     for uid, ref_txt, path, lang in pairs:
         inf, fs = audio_io.read(path)
+        assert inf.ndim == 1, inf.shape
         scores = levenshtein_metric(model, ref_txt, inf, lang, fs=fs)
         for m in METRICS:
             writers[m].write(f"{uid} {json.dumps(scores[m])}\n")

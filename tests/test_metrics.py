@@ -193,3 +193,30 @@ def test_whisper_basic_keeps_precomposed_accents():
 
     assert whisper_basic_normalize("Naïve CAFÉ!") == "naïve café"
     assert whisper_basic_normalize("hello, world (noise) [tag]") == "hello world"
+
+
+def test_intrusive_cli_shards_and_suffixes(tmp_path, speech_like):
+    """--nsplits/--job must slice the pair list and suffix outputs like
+    every other CLI (job arrays would otherwise clobber each other)."""
+    x, fs = speech_like
+    ref_lines, inf_lines = [], []
+    for i in range(2):
+        rp, ip = tmp_path / f"r{i}.wav", tmp_path / f"i{i}.wav"
+        audio_io.write(str(rp), x.astype(np.float32), fs)
+        audio_io.write(str(ip), _noisy(x, 10).astype(np.float32), fs)
+        ref_lines.append(f"u{i} {rp}")
+        inf_lines.append(f"u{i} {ip}")
+    (tmp_path / "ref.scp").write_text("\n".join(ref_lines) + "\n")
+    (tmp_path / "inf.scp").write_text("\n".join(inf_lines) + "\n")
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/evaluation_metrics/calculate_intrusive_se_metrics.py",
+         "--ref_scp", str(tmp_path / "ref.scp"), "--inf_scp", str(tmp_path / "inf.scp"),
+         "--output_dir", str(tmp_path / "score"), "--nj", "1",
+         "--nsplits", "2", "--job", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo/evaluation_metrics",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = (tmp_path / "score" / "PESQ.2.scp").read_text().strip().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("u1 ")
+    assert not (tmp_path / "score" / "RESULTS.txt").exists()

@@ -14,12 +14,31 @@ import threading
 
 import numpy as np
 
-__all__ = ["sidechain_compress", "native_available"]
+__all__ = ["sidechain_compress", "native_available", "build_native"]
 
 _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
+
+
+def build_native(src_name: str, so_name: str, link_flags=()):
+    """Compile csrc/<src_name> into csrc/<so_name> (mtime-cached; pid-suffixed
+    temp + atomic rename so concurrent job-array processes never dlopen a
+    half-written library) and return the ctypes.CDLL.  Raises on failure —
+    callers decide whether absence is fatal.  Single shared implementation
+    for all three native libraries (dsp/flac/codec)."""
+    src = os.path.abspath(os.path.join(_CSRC, src_name))
+    so = os.path.abspath(os.path.join(_CSRC, so_name))
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        tmp = f"{so}.{os.getpid()}.tmp"
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src, *link_flags],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, so)
+    return ctypes.CDLL(so)
 
 
 def _load():
@@ -28,19 +47,8 @@ def _load():
         if _TRIED:
             return _LIB
         _TRIED = True
-        src = os.path.abspath(os.path.join(_CSRC, "dsp_native.cpp"))
-        so = os.path.abspath(os.path.join(_CSRC, "libdsp_native.so"))
         try:
-            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-                # temp + atomic rename: safe under concurrent first use
-                tmp = f"{so}.{os.getpid()}.tmp"
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
-                    check=True,
-                    capture_output=True,
-                )
-                os.replace(tmp, so)
-            lib = ctypes.CDLL(so)
+            lib = build_native("dsp_native.cpp", "libdsp_native.so")
             lib.sidechain_compress.argtypes = [
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double),

@@ -246,15 +246,21 @@ def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
         pre_x = xd @ wd.T + wb  # (T, B, 3H)
 
         def step(h, px):
-            rec = h @ rd.T + rb  # (B, 3H)
-            z = jax.nn.sigmoid(px[:, :H] + rec[:, :H])
-            rt = jax.nn.sigmoid(px[:, H : 2 * H] + rec[:, H : 2 * H])
             if lbr:
-                ht = jnp.tanh(px[:, 2 * H :] + rt * rec[:, 2 * H :])
+                rec = h @ rd.T + rb  # (B, 3H)
+                ht = jnp.tanh(px[:, 2 * H :] + _rt(px, rec) * rec[:, 2 * H :])
             else:
-                ht = jnp.tanh(px[:, 2 * H :] + (rt * h) @ rd[2 * H :].T + rb[2 * H :])
+                # only z/r need the plain recurrent product here — the
+                # candidate uses (rt * h) @ Rh, so computing the full 3H
+                # block would waste a third of the per-step FLOPs
+                rec = h @ rd[: 2 * H].T + rb[: 2 * H]
+                ht = jnp.tanh(px[:, 2 * H :] + (_rt(px, rec) * h) @ rd[2 * H :].T + rb[2 * H :])
+            z = jax.nn.sigmoid(px[:, :H] + rec[:, :H])
             h = (1.0 - z) * ht + z * h
             return h, h
+
+        def _rt(px, rec):
+            return jax.nn.sigmoid(px[:, H : 2 * H] + rec[:, H : 2 * H])
 
         h, hs = lax.scan(step, h, pre_x)
         return hs, h

@@ -34,7 +34,6 @@ def _from_torch(path: str):
     if any(k.startswith("dnn.") for k in sd):
         n = sd["dnn.condition_fc.bias"].shape[0]
         layers = len({k.split(".")[2] for k in sd if k.startswith("dnn.rnn_time.")})
-        n_fft = (sd["dnn.band_split_x.norm.0.weight"].shape[0], )  # unused probe
         fcfg = flow_mod.FlowSEConfig(
             bsrnn_hidden=n, num_layer=layers, compute_dtype="bfloat16",
             use_pallas_lstm=_use_pallas(),

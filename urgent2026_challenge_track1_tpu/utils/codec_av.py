@@ -17,15 +17,12 @@ CLI is not); everything degrades gracefully when those are absent.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
 __all__ = ["available", "roundtrip", "decode_file", "probe_file"]
 
-_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
@@ -41,19 +38,13 @@ def _load():
         if _TRIED:
             return _LIB
         _TRIED = True
-        src = os.path.abspath(os.path.join(_CSRC, "codec_native.cpp"))
-        so = os.path.abspath(os.path.join(_CSRC, "libcodec_native.so"))
         try:
-            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-                tmp = f"{so}.{os.getpid()}.tmp"
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, src,
-                     "-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
-                    check=True,
-                    capture_output=True,
-                )
-                os.replace(tmp, so)
-            lib = ctypes.CDLL(so)
+            from urgent2026_challenge_track1_tpu.ops.native import build_native
+
+            lib = build_native(
+                "codec_native.cpp", "libcodec_native.so",
+                link_flags=("-lavformat", "-lavcodec", "-lavutil", "-lswresample"),
+            )
             lib.cn_roundtrip.restype = _LONG
             lib.cn_roundtrip.argtypes = [
                 _FLOATP, _LONG, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,

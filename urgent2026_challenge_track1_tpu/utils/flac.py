@@ -20,16 +20,13 @@ Sample representation matches soundfile: float in [-1, 1) scaled by
 from __future__ import annotations
 
 import ctypes
-import os
 import struct
-import subprocess
 import threading
 
 import numpy as np
 
 __all__ = ["decode", "encode", "probe", "native_available"]
 
-_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
@@ -41,21 +38,10 @@ def _load():
         if _TRIED:
             return _LIB
         _TRIED = True
-        src = os.path.abspath(os.path.join(_CSRC, "flac_native.cpp"))
-        so = os.path.abspath(os.path.join(_CSRC, "libflac_native.so"))
         try:
-            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-                # compile to a pid-suffixed temp + atomic rename: concurrent
-                # processes (metric-CLI job arrays) must never dlopen a
-                # half-written .so
-                tmp = f"{so}.{os.getpid()}.tmp"
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
-                    check=True,
-                    capture_output=True,
-                )
-                os.replace(tmp, so)
-            lib = ctypes.CDLL(so)
+            from urgent2026_challenge_track1_tpu.ops.native import build_native
+
+            lib = build_native("flac_native.cpp", "libflac_native.so")
             u8p = ctypes.POINTER(ctypes.c_uint8)
             i64p = ctypes.POINTER(ctypes.c_int64)
             lib.flac_probe.argtypes = [u8p, ctypes.c_int64, i64p]

@@ -91,11 +91,15 @@ if __name__ == "__main__":
         with pkl_file.open("rb") as f:
             ret0 = pickle.load(f)
     else:
+        import os
+
         fn = partial(estimate_bandwidth, threshold=args.threshold)
-        if args.nj <= 1:
+        # worker pool on a 1-core host only adds spawn/IPC overhead
+        nj = min(args.nj, os.cpu_count() or 1)
+        if nj <= 1:
             ret0 = [fn(a) for a in all_audios]
         else:
-            with get_context("spawn").Pool(args.nj) as pool:
+            with get_context("spawn").Pool(nj) as pool:
                 ret0 = list(pool.imap(fn, all_audios, chunksize=args.chunksize))
         with pkl_file.open("wb") as f:
             pickle.dump(ret0, f)

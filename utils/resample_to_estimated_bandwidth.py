@@ -76,10 +76,13 @@ if __name__ == "__main__":
     items = list(zip(audios, range(len(audios))))
     fn = partial(resample_one, max_files_per_dir=args.max_files,
                  num_digits=num_digits, outdir=args.outdir)
-    if args.nj <= 1:
+    import os
+
+    nj = min(args.nj, os.cpu_count() or 1)  # pool on a 1-core host only adds overhead
+    if nj <= 1:
         ret = [fn(it) for it in items]
     else:
-        with get_context("spawn").Pool(args.nj) as pool:
+        with get_context("spawn").Pool(nj) as pool:
             ret = list(pool.imap(fn, items, chunksize=args.chunksize))
 
     Path(args.out_scpfile).parent.mkdir(parents=True, exist_ok=True)
