@@ -10,7 +10,9 @@ prints the train/val SI-SNR trajectory.
 
 Usage: python scripts/train_e2e_check.py [epochs] [workdir] [model]
   epochs  default 40 (~480 steps at the built pool size / batch 4)
-  model   "baseline" (discriminative, default) or "flowse" (CFM generative)
+  model   "baseline" (discriminative, default), "flowse" (CFM generative),
+          or "baseline-device" (discriminative with on-device rendering:
+          dynamic_mixing_on_device=True, the TPU-first augmentation path)
 """
 
 import json
@@ -118,6 +120,8 @@ def main():
     base = yaml.safe_load((repo / src_yaml).read_text())
     if model == "flowse":
         base.update(train_set_dynamic_mixing=True, batch_size=4)
+    if model == "baseline-device":
+        base.update(dynamic_mixing_on_device=True)
     base.update(
         train_set_path=str(work / "train_sources"),
         valid_set_path=str(work / "validation"),
