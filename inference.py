@@ -20,7 +20,7 @@ import numpy as np
 from urgent2026_challenge_track1_tpu.utils import audio_io as sf
 
 
-def _enhance_fns(kind, params, model_cfg, stft_cfg):
+def _enhance_fns(kind, params, model_cfg, stft_cfg, nfe=15, solver="euler"):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -39,7 +39,9 @@ def _enhance_fns(kind, params, model_cfg, stft_cfg):
 
     @partial(jax.jit, static_argnums=(2,))
     def enhance_flow(wav, key, fs):
-        return flow_mod.flowse_enhance(params, model_cfg, key, wav, fs, N=15)
+        return flow_mod.flowse_enhance(
+            params, model_cfg, key, wav, fs, N=nfe, solver=solver
+        )
 
     return lambda wav, fs, key: enhance_flow(wav, key, fs)
 
@@ -59,7 +61,8 @@ def main(args):
 
     kind, params, model_cfg, stft_cfg = load_model_for_inference(args.ckpt_path)
     print(f"Loaded {kind} model from {args.ckpt_path}")
-    enhance = _enhance_fns(kind, params, model_cfg, stft_cfg)
+    enhance = _enhance_fns(kind, params, model_cfg, stft_cfg,
+                           nfe=args.nfe, solver=args.solver)
 
     input_audios = {}
     with open(args.input_scp) as f:
@@ -176,6 +179,12 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=1,
                         help=">1 groups utterances by (fs, length bucket) "
                              "and enhances them in device batches")
+    parser.add_argument("--nfe", type=int, default=15,
+                        help="flow-model sampler steps (reference default 15, "
+                             "flow_model.py:189); ignored for discriminative ckpts")
+    parser.add_argument("--solver", type=str, default="euler",
+                        choices=["euler", "midpoint", "heun"],
+                        help="fixed-grid ODE solver for the flow sampler")
     parser.add_argument("--chunk_seconds", type=float, default=30.0,
                         help="inputs longer than this are enhanced as "
                              "fixed-shape overlapping chunks with crossfade")
