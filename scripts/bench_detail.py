@@ -21,14 +21,16 @@ from urgent2026_challenge_track1_tpu.models import bsrnn as M
 
 
 def timeit(fn, *args, n=5):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else fn(
-        *args
-    ).block_until_ready()
-    t0 = time.perf_counter()
+    out = fn(*args)  # warmup/compile (single call)
+    (out[0] if isinstance(out, tuple) else out).block_until_ready()
+    times = []
     for _ in range(n):
+        t0 = time.perf_counter()
         out = fn(*args)
         (out[0] if isinstance(out, tuple) else out).block_until_ready()
-    return (time.perf_counter() - t0) / n
+        times.append(time.perf_counter() - t0)
+    # median: the remote-TPU tunnel occasionally stalls one dispatch
+    return float(np.median(times))
 
 
 def main():

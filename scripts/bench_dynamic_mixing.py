@@ -68,7 +68,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--num_workers", type=int, default=os.cpu_count() or 8)
     parser.add_argument("--batch_size", type=int, default=8)
-    parser.add_argument("--processes", action="store_true", default=True)
+    parser.add_argument("--processes", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="--no-processes benchmarks the thread-pool mode "
+                             "(what AudioDataModule picks on hosts with <=2 CPUs)")
     args = parser.parse_args()
 
     with tempfile.TemporaryDirectory() as td:
@@ -86,10 +89,14 @@ def main():
         loader = PrefetchLoader(
             ds, sampler, num_workers=args.num_workers, use_processes=args.processes
         )
-        # warmup pass spins up workers
-        t0 = time.perf_counter()
+        # first batch spins up the worker pool — start timing after it
+        # so pool startup is not amortized into the throughput number
         n_utt, n_samples = 0, 0
+        t0 = None
         for clean, noisy, fs_, lengths in loader:
+            if t0 is None:
+                t0 = time.perf_counter()
+                continue
             n_utt += clean.shape[0]
             n_samples += int(lengths.sum())
         dt = time.perf_counter() - t0

@@ -32,11 +32,14 @@ def main():
             lambda p, key, x: FM.flowse_enhance(p, cfg, key, x, fs, N=15, solver="euler")
         )
         fn(params, key, noisy).block_until_ready()
-        n = 3
-        t0 = time.perf_counter()
+        n = 5
+        times = []
         for _ in range(n):
+            t0 = time.perf_counter()
             fn(params, key, noisy).block_until_ready()
-        dt = (time.perf_counter() - t0) / n
+            times.append(time.perf_counter() - t0)
+        # median: the remote-TPU tunnel occasionally stalls one dispatch
+        dt = float(np.median(times))
         audio_s = B * seconds
         print(
             f"flowse enhance (N=15 NFE, B={B}): {dt*1e3:.1f} ms "

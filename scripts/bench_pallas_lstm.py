@@ -17,10 +17,13 @@ from urgent2026_challenge_track1_tpu.ops.pallas_lstm import lstm_scan_pallas
 
 def timeit(fn, *args, n=10):
     fn(*args).block_until_ready()
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n):
+        t0 = time.perf_counter()
         fn(*args).block_until_ready()
-    return (time.perf_counter() - t0) / n
+        times.append(time.perf_counter() - t0)
+    # median: the remote-TPU tunnel occasionally stalls one dispatch
+    return float(np.median(times))
 
 
 def main():

@@ -53,11 +53,14 @@ def main():
     print(f"compile ok, loss={float(m['loss']):.4f}", flush=True)
 
     n = 10
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n):
+        t0 = time.perf_counter()
         params, opt_state, _, m = step_fn(params, opt_state, None, key, clean, noisy)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / n
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    # median: the remote-TPU tunnel occasionally stalls one dispatch
+    dt = float(np.median(times))
     audio_s = B * T / fs
     print(
         f"train step ({dtype}, pallas={use_pallas}, remat={remat}): {dt*1e3:.1f} ms  ({1/dt:.2f} steps/s, "

@@ -46,12 +46,22 @@ def speech_like(T, fs, seed=0):
     return 0.3 * x / np.abs(x).max()
 
 
-def score_conditions(fs, scales):
-    P.FREQ_SCALE_D, P.FREQ_SCALE_A = scales
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _conditions(fs):
+    """(x, noise, activity): depends only on fs + fixed seeds — hoisted out
+    of the 400-point calibration grid (speech_like has a per-sample loop)."""
     x = speech_like(fs * 4, fs, seed=1)
     act = np.std(x[np.abs(x) > 0.01])
-    r = np.random.default_rng(2)
-    noise = r.standard_normal(len(x))
+    noise = np.random.default_rng(2).standard_normal(len(x))
+    return x, noise, act
+
+
+def score_conditions(fs, scales):
+    P.FREQ_SCALE_D, P.FREQ_SCALE_A = scales
+    x, noise, act = _conditions(fs)
     out = []
     for snr, _ in ANCHORS_NB:
         n = act * 10 ** (-snr / 20) * noise

@@ -39,46 +39,51 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from urgent2026_challenge_track1_tpu.config import Config
-    from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
     from urgent2026_challenge_track1_tpu.models import bsrnn as M
     from urgent2026_challenge_track1_tpu.train.trainer import (
-        ModelBundle,
+        build_model,
         make_optimizer,
         make_train_step,
     )
 
-    cfg = Config(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
-    mcfg = M.BSRNNConfig(
-        input_dim=481, num_channel=args.channels, num_layer=args.layers,
-        causal=False, compute_dtype=args.compute_dtype,
+    # derive the model bundle exactly like the trainer does (use_pallas_lstm
+    # "auto" resolution, config plumbing) so the cached HLO matches what the
+    # first real epoch compiles — a hand-built BSRNNConfig drifted before
+    cfg = Config(
+        batch_size=args.batch_size, compute_dtype=args.compute_dtype,
+        model_configs={"num_channel": args.channels, "num_layer": args.layers},
     )
-    icfg = M.BSRNNConfig(
-        input_dim=481, num_channel=args.channels, num_layer=args.layers,
-        causal=False, compute_dtype=args.compute_dtype, use_pallas_lstm=True,
-    )
-    stft_cfg = STFTConfig(n_fft=960, hop_length=480)
+    bundle = build_model(cfg)
+    mcfg, stft_cfg = bundle.model_cfg, bundle.stft_cfg
     params = M.init_bsrnn(jax.random.PRNGKey(0), mcfg)
+    # separate copy for inference: the train step donates its buffers
+    params_inf = M.init_bsrnn(jax.random.PRNGKey(0), mcfg)
     optimizer = make_optimizer(cfg)
-    bundle = ModelBundle("discriminative", mcfg, stft_cfg)
 
     rng = np.random.default_rng(0)
+    # rethread donated (params, opt_state) across iterations like the
+    # trainer does — reusing the originals after a donating call crashes
+    # with 'Array has been deleted' on TPU (bench_train.py pattern)
+    p_train = params
+    o_train = optimizer.init(params)
+    ema = None
     for fs in SAMPLE_RATES:
         T = fs * args.seconds
         x = (0.1 * rng.standard_normal((args.batch_size, T))).astype(np.float32)
         if args.mode in ("train", "both"):
             t0 = time.perf_counter()
-            opt_state = optimizer.init(params)
             step = make_train_step(bundle, optimizer, cfg, fs)
-            p2, *_ , m = step(params, opt_state, None, jax.random.PRNGKey(1), x, x)
+            p_train, o_train, ema, m = step(
+                p_train, o_train, ema, jax.random.PRNGKey(1), x, x
+            )
             jax.block_until_ready(m["loss"])
             print(f"train fs={fs}: compiled in {time.perf_counter()-t0:.1f}s", flush=True)
-            del p2
         if args.mode in ("infer", "both"):
             t0 = time.perf_counter()
             fn = jax.jit(
-                lambda p, w, fs=fs: M.bsrnn_se_apply(p, icfg, stft_cfg, w, fs)[0]
+                lambda p, w, fs=fs: M.bsrnn_se_apply(p, mcfg, stft_cfg, w, fs)[0]
             )
-            fn(params, x[:1]).block_until_ready()
+            fn(params_inf, x[:1]).block_until_ready()
             print(f"infer fs={fs}: compiled in {time.perf_counter()-t0:.1f}s", flush=True)
 
 

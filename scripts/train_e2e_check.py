@@ -103,6 +103,8 @@ def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     work = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(tempfile.mkdtemp(prefix="e2e_"))
     model = sys.argv[3] if len(sys.argv) > 3 else "baseline"
+    if model not in ("baseline", "flowse", "baseline-device"):
+        raise SystemExit(f"unknown model {model!r}: baseline | flowse | baseline-device")
     fs, seconds = build_train_sources(work / "train_sources")
     build_valid_pairs(work / "validation")
 

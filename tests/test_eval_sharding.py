@@ -32,6 +32,8 @@ def _mk(tmp_path, n=5):
 def test_dnsmos_style_sharding_without_backend(tmp_path):
     """Backend-less CLIs fail cleanly with an actionable message."""
     _mk(tmp_path, 3)
+    # deliberate CLAUDE.md deviation: dropping /root/.axon_site from
+    # PYTHONPATH is what lets JAX_PLATFORMS=cpu stick in the child CLI
     env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "/root/repo/evaluation_metrics/calculate_nonintrusive_dnsmos.py",
@@ -44,6 +46,8 @@ def test_dnsmos_style_sharding_without_backend(tmp_path):
 
 def test_intrusive_runs_per_utt_and_breakdownable(tmp_path):
     _mk(tmp_path, 4)
+    # deliberate CLAUDE.md deviation: dropping /root/.axon_site from
+    # PYTHONPATH is what lets JAX_PLATFORMS=cpu stick in the child CLI
     env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "/root/repo/evaluation_metrics/calculate_intrusive_se_metrics.py",

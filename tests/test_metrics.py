@@ -154,6 +154,8 @@ def test_intrusive_cli_end_to_end(tmp_path, speech_like):
     audio_io.write(str(inf_p), y.astype(np.float32), fs)
     (tmp_path / "ref.scp").write_text(f"u1 {ref_p}\n")
     (tmp_path / "inf.scp").write_text(f"u1 {inf_p}\n")
+    # deliberate CLAUDE.md deviation: dropping /root/.axon_site from
+    # PYTHONPATH is what lets JAX_PLATFORMS=cpu stick in the child CLI
     env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "/root/repo/evaluation_metrics/calculate_intrusive_se_metrics.py",
@@ -208,6 +210,8 @@ def test_intrusive_cli_shards_and_suffixes(tmp_path, speech_like):
         inf_lines.append(f"u{i} {ip}")
     (tmp_path / "ref.scp").write_text("\n".join(ref_lines) + "\n")
     (tmp_path / "inf.scp").write_text("\n".join(inf_lines) + "\n")
+    # deliberate CLAUDE.md deviation: dropping /root/.axon_site from
+    # PYTHONPATH is what lets JAX_PLATFORMS=cpu stick in the child CLI
     env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "/root/repo/evaluation_metrics/calculate_intrusive_se_metrics.py",
