@@ -15,6 +15,7 @@ from pathlib import Path
 import numpy as np
 
 from _shared import audio_io, base_parser, read_pairs, shard
+from urgent2026_challenge_track1_tpu.utils import capped_nj
 
 METRICS = ("PESQ", "ESTOI")
 
@@ -62,15 +63,12 @@ def process_one_pair(data_pair):
 
 
 def main(args):
-    import os
-
     pairs = read_pairs(args, need_ref=True)
     # every CLI in this directory shards by --nsplits/--job (eval_all.sh job
     # arrays); without this, N jobs would each score the FULL list and
     # clobber each other's unsuffixed outputs
     pairs, suffix = shard(pairs, args)
-    nj = min(args.nj, os.cpu_count() or 1)  # worker pool on a 1-core host
-    #                                         only adds spawn/IPC overhead
+    nj = capped_nj(args.nj)
     if nj <= 1:
         ret = [process_one_pair(p) for p in pairs]
     else:

@@ -140,7 +140,12 @@ def main():
     state = train_se.main(["--config_file", str(cfg_path)])
     print(f"finished at step {state.step}")
 
-    (jsonl,) = (work / "exp/e2e_check").glob("*/version_0/metrics.jsonl")
+    # most recent run: the workdir may hold earlier runs of other models
+    # (train_name differs per model family)
+    jsonl = max(
+        (work / "exp/e2e_check").glob("*/version_0/metrics.jsonl"),
+        key=lambda p: p.stat().st_mtime,
+    )
     train_pts, val_pts, loss_pts = [], [], []
     for line in jsonl.read_text().splitlines():
         rec = json.loads(line)

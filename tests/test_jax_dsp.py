@@ -175,3 +175,22 @@ def test_mix_at_snr_masked_matches_unpadded():
     np.testing.assert_allclose(
         np.asarray(got_scaled)[0, :T], np.asarray(want_scaled)[0], rtol=1e-4
     )
+
+
+def test_mix_at_snr_short_item_not_silenced():
+    """An item shorter than one VAD frame must still get noise mixed (the
+    host path returns an all-ones mask for sub-frame signals); an all-False
+    mask would scale the noise to exactly zero."""
+    import numpy as np
+
+    from urgent2026_challenge_track1_tpu.simulation import jax_dsp
+
+    rng = np.random.default_rng(5)
+    T, L = 16000, 600  # item shorter than frame_length=1024
+    sp = np.zeros(T)
+    sp[:L] = 0.3 * np.sin(2 * np.pi * 200 * np.arange(L) / 16000)
+    nz = np.zeros(T)
+    nz[:L] = 0.1 * rng.standard_normal(L)
+    _, scaled = jax_dsp.mix_at_snr(sp[None], nz[None], np.array([10.0]),
+                                   lengths=np.array([L]))
+    assert float(np.abs(np.asarray(scaled)[0, :L]).max()) > 1e-4

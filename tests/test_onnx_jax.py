@@ -361,3 +361,19 @@ def test_gru_zrh_gate_order_against_numpy(lbr):
     ref = np.stack(ys)[:, None]
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(hn[0], ys[-1], rtol=1e-4, atol=1e-5)
+
+
+def test_maxpool_ceil_mode_ignores_padding_start_windows():
+    """ONNX spec: sliding windows that would START in the right padded
+    region are ignored (kernel 2, stride 3, end-pad 2 on a 5-wide input
+    yields 2 outputs, not 3 — ORT/torch behavior)."""
+    x = np.arange(5, dtype=np.float32).reshape(1, 1, 1, 5)
+    m = _model(
+        [("MaxPool", ["x"], ["y"], {"kernel_shape": [1, 2], "strides": [1, 3],
+                                    "pads": [0, 0, 0, 2], "ceil_mode": 1})],
+        {},
+        ["x"],
+        ["y"],
+    )
+    (y,) = _session(m).run(None, {"x": x})
+    np.testing.assert_array_equal(y[0, 0, 0], [1, 4])

@@ -93,15 +93,23 @@ def _pool(node, x, reducer, init, is_avg=False):
         p = node.attrs.get("pads", [0] * (2 * rank))
         pads = list(zip(p[:rank], p[rank:]))
     if node.attrs.get("ceil_mode", 0):
-        # grow the hi pad so reduce_window emits ceil-count windows (windows
-        # starting inside the original extent, per the ONNX spec)
+        # grow the hi pad so reduce_window emits ceil-count windows — but
+        # windows that would START inside the right padding are ignored
+        # (ONNX spec note; ORT/torch clamp the output so the last window
+        # starts within input + left padding)
         for i, (k, s, d) in enumerate(zip(kernel, strides, dilations)):
             eff = (k - 1) * d + 1
-            span = x.shape[2 + i] + pads[i][0] + pads[i][1]
+            in_size = x.shape[2 + i]
+            span = in_size + pads[i][0] + pads[i][1]
             out_ceil = -(-(span - eff) // s) + 1
+            while out_ceil > 1 and (out_ceil - 1) * s >= in_size + pads[i][0]:
+                out_ceil -= 1
+            # adjust hi pad so reduce_window emits exactly out_ceil windows:
+            # grown for the ceil window, trimmed when excess explicit padding
+            # would add spec-ignored windows (negative window padding = crop,
+            # which XLA supports; trimmed region is beyond every kept window)
             need = (out_ceil - 1) * s + eff - span
-            if need > 0:
-                pads[i] = (pads[i][0], pads[i][1] + need)
+            pads[i] = (pads[i][0], pads[i][1] + need)
     window = (1, 1) + tuple(kernel)
     strides_full = (1, 1) + tuple(strides)
     dil_full = (1, 1) + tuple(dilations)

@@ -100,6 +100,10 @@ def detect_non_silence_mask(
         cover = (nv * frame_shift)[:, None]
         pos = jnp.arange(T)[None, :]
         det = jnp.where(pos < cover, det, last)
+        # items shorter than one frame have NO valid frames; the host path
+        # returns all-ones for such signals (T < frame_length branch above)
+        # — otherwise the SNR mix would scale their noise to exactly zero
+        det = jnp.where((nv == 0)[:, None], jnp.ones_like(det), det)
         det = det & (pos < L)
     return det
 

@@ -64,10 +64,9 @@ def main(args):
         rir_dic=rir_dic,
         highpass=args.highpass,
     )
-    import os
+    from urgent2026_challenge_track1_tpu.utils import capped_nj
 
-    # a worker pool on a 1-core host only adds spawn/IPC overhead
-    nj = min(args.nj, os.cpu_count() or 1)
+    nj = capped_nj(args.nj)
     if nj <= 1:
         try:
             from tqdm import tqdm

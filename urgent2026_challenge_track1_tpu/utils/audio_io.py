@@ -19,6 +19,7 @@ for integer-ish use cases (soundfile's wav default).
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Optional
 
@@ -90,6 +91,25 @@ def _is_compressed_magic(head: bytes) -> bool:
     return len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
 
 
+# single-entry decode cache: info()-then-read() on the same compressed file
+# is the common pattern (meta table, batch packing) and exact lengths need a
+# full decode — this avoids decoding every mp3/ogg twice
+_COMPRESSED_CACHE: dict = {}
+
+
+def _decode_compressed(path: str):
+    from urgent2026_challenge_track1_tpu.utils import codec_av
+
+    st = os.stat(path)
+    key = (str(path), st.st_mtime_ns, st.st_size)
+    hit = _COMPRESSED_CACHE.get("entry")
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    out = codec_av.decode_file(path)
+    _COMPRESSED_CACHE["entry"] = (key, out)
+    return out
+
+
 def read(path: str, dtype: str = "float64"):
     """(data, fs); data (T,) or (T, C) like soundfile.read."""
     if _sf is not None:
@@ -108,9 +128,7 @@ def read(path: str, dtype: str = "float64"):
     elif _is_compressed_magic(buf[:4]):
         # mp3/ogg corpora (CommonVoice, DNS5) — reference reads these via
         # libsndfile/librosa (simulate_data_from_param.py:347-361)
-        from urgent2026_challenge_track1_tpu.utils import codec_av
-
-        data, fs = codec_av.decode_file(path)
+        data, fs = _decode_compressed(path)
     else:
         data, fs = _decode(buf)
     return data.astype(dtype), fs
@@ -142,9 +160,7 @@ def info(path: str) -> tuple[int, int]:
             total, fs, _, _ = flac.probe(buf)
             return total, fs
         if _is_compressed_magic(buf[:4]):
-            from urgent2026_challenge_track1_tpu.utils import codec_av
-
-            data, fs = codec_av.decode_file(path)
+            data, fs = _decode_compressed(path)
             return data.shape[0], fs
         return _parse_chunks_headeronly(buf, f)
 

@@ -91,11 +91,10 @@ if __name__ == "__main__":
         with pkl_file.open("rb") as f:
             ret0 = pickle.load(f)
     else:
-        import os
+        from urgent2026_challenge_track1_tpu.utils import capped_nj
 
         fn = partial(estimate_bandwidth, threshold=args.threshold)
-        # worker pool on a 1-core host only adds spawn/IPC overhead
-        nj = min(args.nj, os.cpu_count() or 1)
+        nj = capped_nj(args.nj)
         if nj <= 1:
             ret0 = [fn(a) for a in all_audios]
         else:

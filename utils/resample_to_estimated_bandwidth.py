@@ -76,9 +76,9 @@ if __name__ == "__main__":
     items = list(zip(audios, range(len(audios))))
     fn = partial(resample_one, max_files_per_dir=args.max_files,
                  num_digits=num_digits, outdir=args.outdir)
-    import os
+    from urgent2026_challenge_track1_tpu.utils import capped_nj
 
-    nj = min(args.nj, os.cpu_count() or 1)  # pool on a 1-core host only adds overhead
+    nj = capped_nj(args.nj)
     if nj <= 1:
         ret = [fn(it) for it in items]
     else:
