@@ -377,3 +377,23 @@ def test_maxpool_ceil_mode_ignores_padding_start_windows():
     )
     (y,) = _session(m).run(None, {"x": x})
     np.testing.assert_array_equal(y[0, 0, 0], [1, 4])
+
+
+def test_softmax_old_opset_2d_coercion():
+    """opset <= 12 Softmax flattens trailing dims at axis (default 1): a
+    (2, 2, 3) input normalizes over the 6-element tail, not the last axis."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 2, 3)).astype(np.float32)
+    g = onnx_lite.Graph(
+        nodes=[onnx_lite.Node("Softmax", ["x"], ["y"], {})],
+        initializers={}, inputs=["x"], outputs=["y"],
+    )
+    old = onnx_lite.Model(graph=g, opset=11)
+    (y_old,) = onnx_jax.InferenceSession(onnx_lite.dumps(old), jit=False).run(None, {"x": x})
+    flat = np.exp(x.reshape(2, -1))
+    ref = (flat / flat.sum(-1, keepdims=True)).reshape(x.shape)
+    np.testing.assert_allclose(y_old, ref, rtol=1e-5)
+    new = onnx_lite.Model(graph=g, opset=17)
+    (y_new,) = onnx_jax.InferenceSession(onnx_lite.dumps(new), jit=False).run(None, {"x": x})
+    e = np.exp(x)
+    np.testing.assert_allclose(y_new, e / e.sum(-1, keepdims=True), rtol=1e-5)

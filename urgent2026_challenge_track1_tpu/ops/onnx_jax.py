@@ -558,6 +558,15 @@ class OnnxGraphExecutor:
             lead = int(np.prod(shape[:ax])) if ax else 1
             return args[0].reshape(lead, -1)
         if op == "Softmax":
+            if self.model.opset and self.model.opset < 13:
+                # opset <=12 semantics: coerce to 2D at axis (default 1) and
+                # softmax over the flattened trailing block — older exported
+                # metric models (DNSMOS-era) rely on this
+                x = args[0]
+                ax = node.attrs.get("axis", 1) % max(x.ndim, 1)
+                lead = int(np.prod(x.shape[:ax])) if ax else 1
+                flat = jax.nn.softmax(x.reshape(lead, -1), axis=-1)
+                return flat.reshape(x.shape)
             return jax.nn.softmax(args[0], axis=node.attrs.get("axis", -1))
         if op == "LeakyRelu":
             return jax.nn.leaky_relu(args[0], node.attrs.get("alpha", 0.01))
