@@ -158,7 +158,7 @@ def main():
     show = lambda pts: " ".join(f"{s}:{v:.2f}" for s, v in pts)
     print("train loss:", show(loss_pts[:3] + loss_pts[-3:]))
     print("train SI-SNR:", show(train_pts[:3] + train_pts[-3:]))
-    print("val SI-SNR (flowse: batch-0 N=10 sampler):", show(val_pts))
+    print("val SI-SNR:", show(val_pts[-6:]))
     if len(loss_pts) >= 2:
         print(f"loss {loss_pts[0][1]:.3f} -> {loss_pts[-1][1]:.3f}; workdir: {work}")
 
