@@ -170,8 +170,9 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--input_scp", type=str, required=True,
                         help="Path to the scp file listing input audio")
-    parser.add_argument("--output_dir", type=str, default="./tmp/se",
-                        help="Output directory for enhanced speech")
+    parser.add_argument("--output_dir", "--output", type=str, default="./tmp/se",
+                        help="Output directory for enhanced speech (the "
+                             "reference readme spells it --output)")
     parser.add_argument("--ckpt_path", type=str, required=True,
                         help="Checkpoint: orbax dir or torch .ckpt")
     parser.add_argument("--device", type=str, default="tpu",
