@@ -39,7 +39,9 @@ for s in ${subsets}; do
 done
 cat data/tmp/train_sources/*.scp > data/tmp/train_sources/all_scp
 
-# challenge subset filter (meta/train_urgent2026 ships with the challenge kit)
+# challenge subset filter. NOTE: meta/train_urgent2026 is NOT shipped by the
+# reference repo either (only meta/validation_selected is, vendored here);
+# obtain it from the challenge kit and place it under meta/ before running.
 python utils/filter_scp.py meta/train_urgent2026 < data/tmp/train_sources/all_scp \
     > ${train_source_output}/speech_sources.scp
 

@@ -14,7 +14,8 @@ cat ${urgent25_path}/data/tmp/*validation.scp | \
     awk -v pwd="${urgent25_path}" '{ if ($3 !~ /^\//) { sub(/^\.\//, "", $3); $3 = pwd "/" $3 } print }' \
     > data/tmp/validation/all_scp
 
-# meta/validation_selected ships with the challenge kit (2,200 utterances)
+# meta/validation_selected is vendored in this repo (2,200 utterance ids,
+# byte-identical to the reference's meta/validation_selected)
 python utils/filter_scp.py meta/validation_selected < data/tmp/validation/all_text \
     > data/tmp/validation/speech_validation_subset.text
 python utils/filter_scp.py meta/validation_selected < data/tmp/validation/all_utt2spk \
