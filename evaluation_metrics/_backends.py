@@ -61,7 +61,13 @@ def load_dnsmos(primary_model: str, p808_model: str, device: str = "cpu"):
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
-            pass  # backend already initialized by the host process
+            # backend already initialized by the host process — scoring will
+            # run on whatever platform that is, not the requested cpu
+            print(
+                "WARNING: jax backend already initialized; --device cpu ignored "
+                f"(DNSMOS will score on the {jax.default_backend()} backend)",
+                flush=True,
+            )
     from urgent2026_challenge_track1_tpu.ops import onnx_jax
 
     try:

@@ -27,7 +27,19 @@ __all__ = [
     "read_pairs",
     "shard",
     "write_results",
+    "EXIT_BACKEND_UNAVAILABLE",
+    "exit_backend_unavailable",
 ]
+
+# Distinct exit code for "the pretrained-model backend for this metric is not
+# installed/downloadable here" so orchestrators (eval_all.sh) can
+# skip-and-report that metric while still aborting on real failures.
+EXIT_BACKEND_UNAVAILABLE = 86
+
+
+def exit_backend_unavailable(exc) -> "None":
+    print(f"SKIPPED (backend unavailable): {exc}", file=sys.stderr, flush=True)
+    raise SystemExit(EXIT_BACKEND_UNAVAILABLE)
 
 
 def base_parser(need_ref=False, need_meta=False):

@@ -6,7 +6,7 @@ calculate_emotion_similarity.py) using emotion2vec base; resamples to 16 kHz.
 import numpy as np
 
 from _backends import BackendUnavailable, cosine_similarity
-from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from _shared import audio_io, base_parser, read_pairs, shard, write_results, exit_backend_unavailable
 from urgent2026_challenge_track1_tpu.simulation.dsp import resample
 
 METRICS = ("EmotionSimilarity",)
@@ -47,4 +47,4 @@ if __name__ == "__main__":
     try:
         main(base_parser(need_ref=True).parse_args())
     except BackendUnavailable as e:
-        raise SystemExit(f"ERROR: {e}")
+        exit_backend_unavailable(e)

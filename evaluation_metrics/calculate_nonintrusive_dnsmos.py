@@ -16,7 +16,7 @@ import functools
 import numpy as np
 
 from _backends import BackendUnavailable, load_dnsmos
-from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from _shared import audio_io, base_parser, read_pairs, shard, write_results, exit_backend_unavailable
 from urgent2026_challenge_track1_tpu.simulation.dsp import resample
 
 METRICS = ("DNSMOS_OVRL", "P808_MOS")
@@ -127,4 +127,4 @@ if __name__ == "__main__":
     try:
         main(parser.parse_args())
     except BackendUnavailable as e:
-        raise SystemExit(f"ERROR: {e}")
+        exit_backend_unavailable(e)

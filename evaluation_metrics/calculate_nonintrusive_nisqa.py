@@ -8,7 +8,7 @@ Provide --nisqa_ckpt pointing at nisqa.tar (from the NISQA repo release).
 import numpy as np
 
 from _backends import BackendUnavailable
-from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from _shared import audio_io, base_parser, read_pairs, shard, write_results, exit_backend_unavailable
 
 METRICS = ("NISQA_MOS",)
 
@@ -61,4 +61,4 @@ if __name__ == "__main__":
     try:
         main(parser.parse_args())
     except BackendUnavailable as e:
-        raise SystemExit(f"ERROR: {e}")
+        exit_backend_unavailable(e)

@@ -8,7 +8,7 @@ Uses the SCOREQ package (natural-speech no-reference mode); resamples to
 import numpy as np
 
 from _backends import BackendUnavailable
-from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from _shared import audio_io, base_parser, read_pairs, shard, write_results, exit_backend_unavailable
 from urgent2026_challenge_track1_tpu.simulation.dsp import resample
 
 METRICS = ("SCOREQ",)
@@ -37,4 +37,4 @@ if __name__ == "__main__":
     try:
         main(base_parser().parse_args())
     except BackendUnavailable as e:
-        raise SystemExit(f"ERROR: {e}")
+        exit_backend_unavailable(e)

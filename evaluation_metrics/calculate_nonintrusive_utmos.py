@@ -7,7 +7,7 @@ Uses torch.hub tarepan/SpeechMOS:v1.2.0 utmos22_strong; resamples to 16 kHz.
 import numpy as np
 
 from _backends import BackendUnavailable, load_torch_hub
-from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from _shared import audio_io, base_parser, read_pairs, shard, write_results, exit_backend_unavailable
 from urgent2026_challenge_track1_tpu.simulation.dsp import resample
 
 METRICS = ("UTMOS",)
@@ -36,4 +36,4 @@ if __name__ == "__main__":
     try:
         main(base_parser().parse_args())
     except BackendUnavailable as e:
-        raise SystemExit(f"ERROR: {e}")
+        exit_backend_unavailable(e)

@@ -8,7 +8,7 @@ the tokenizer); similarity = 1 - normalized Levenshtein distance.
 import numpy as np
 
 from _backends import BackendUnavailable
-from _shared import audio_io, base_parser, read_pairs, shard, write_results
+from _shared import audio_io, base_parser, read_pairs, shard, write_results, exit_backend_unavailable
 from urgent2026_challenge_track1_tpu.metrics.text import levenshtein_distance
 from urgent2026_challenge_track1_tpu.simulation.dsp import resample
 
@@ -70,4 +70,4 @@ if __name__ == "__main__":
     try:
         main(base_parser(need_ref=True).parse_args())
     except BackendUnavailable as e:
-        raise SystemExit(f"ERROR: {e}")
+        exit_backend_unavailable(e)

@@ -9,12 +9,13 @@ texts) so get_breakdown.py can aggregate corpus-level WER exactly.
 """
 
 import json
+import re
 from pathlib import Path
 
 import numpy as np
 
 from _backends import BackendUnavailable
-from _shared import audio_io, base_parser, read_pairs, shard
+from _shared import audio_io, base_parser, read_pairs, shard, exit_backend_unavailable
 from urgent2026_challenge_track1_tpu.metrics.text import (
     opcodes,
     whisper_basic_normalize,
@@ -27,13 +28,20 @@ BEAMSIZE = 5
 CHUNK_S = 30
 
 
-def _decode_segment(model, seg, fs, lang_sym, task_sym):
+END_TIME_THRESHOLD = 29.00  # reference end_time_threshold="<29.00>"
+_TS_RE = re.compile(r"<(\d+\.\d+)>")
+
+
+def _decode_segment(model, seg, fs, lang_sym, task_sym, maxlenratio=None):
     """One <=30 s OWSM decode with the reference's conditioning: per-utterance
     language/task symbols, ~10 tokens/s maxlenratio, zero-pad to the 30 s
     window (owsm_utils.py:80-83)."""
     import torch
 
-    model.maxlenratio = -min(300, max(10, int(len(seg) / fs * 10)))
+    model.maxlenratio = (
+        maxlenratio if maxlenratio is not None
+        else -min(300, max(10, int(len(seg) / fs * 10)))
+    )
     pad = CHUNK_S * fs
     if len(seg) < pad:
         seg = np.pad(seg, (0, pad - len(seg)))
@@ -41,22 +49,95 @@ def _decode_segment(model, seg, fs, lang_sym, task_sym):
         return model(seg, "<na>", lang_sym=lang_sym, task_sym=task_sym)[0][-2]
 
 
+def parse_timestamped(text):
+    """OWSM timestamped output -> ([(t1, t2, seg_text)], last_ts).
+
+    ``"<0.00> hello there<4.52><4.60> second segment<8.00>"`` yields two
+    segments; text outside any timestamp pair is attached as a (None, None)
+    segment so no words are dropped.  Returns (segments, last timestamp or
+    None)."""
+    matches = list(_TS_RE.finditer(text))
+    if not matches:
+        stripped = text.strip()
+        return ([(None, None, stripped)] if stripped else []), None
+    segments = []
+    head = text[: matches[0].start()].strip()
+    if head:
+        segments.append((None, None, head))
+    for m, m_next in zip(matches, matches[1:]):
+        seg = text[m.end() : m_next.start()].strip()
+        if seg:
+            segments.append((float(m.group(1)), float(m_next.group(1)), seg))
+    tail = text[matches[-1].end() :].strip()
+    if tail:
+        segments.append((float(matches[-1].group(1)), None, tail))
+    return segments, float(matches[-1].group(1))
+
+
+def format_timestamp(seconds, always_include_hours=False, decimal_marker="."):
+    """Whisper-style timestamp (reference owsm_utils.py:88-107)."""
+    assert seconds >= 0, "non-negative timestamp expected"
+    ms = round(seconds * 1000.0)
+    hours, ms = divmod(ms, 3_600_000)
+    minutes, ms = divmod(ms, 60_000)
+    secs, ms = divmod(ms, 1_000)
+    hm = f"{hours:02d}:" if always_include_hours or hours > 0 else ""
+    return f"{hm}{minutes:02d}:{secs:02d}{decimal_marker}{ms:03d}"
+
+
+def decode_long(model, speech, fs, lang_sym, task_sym):
+    """Segmenting long-form decode (reference owsm_utils.py:52-72 semantics,
+    espnet ``model.decode_long`` behavior): decode a sliding 30 s window
+    with timestamps, advance the window to the LAST predicted segment
+    boundary when it lies before the 29 s threshold (so segments never cut
+    words at window edges), emit (abs_start, abs_end, text) tuples."""
+    chunk = CHUNK_S * fs
+    pos = 0
+    utts = []
+    while pos < len(speech):
+        window = speech[pos : pos + chunk]
+        text = _decode_segment(
+            model, window, fs, lang_sym, task_sym, maxlenratio=-300
+        )
+        segments, last_ts = parse_timestamped(text)
+        offset = pos / fs
+        win_seconds = len(window) / fs
+        for t1, t2, seg in segments:
+            a = offset + (t1 if t1 is not None else 0.0)
+            b = offset + (t2 if t2 is not None else win_seconds)
+            utts.append((a, b, seg))
+        is_last_window = pos + chunk >= len(speech)
+        if is_last_window:
+            break
+        if last_ts is not None and 0.0 < last_ts < END_TIME_THRESHOLD:
+            # resume exactly at the final segment boundary
+            pos += int(last_ts * fs)
+        else:
+            pos += chunk
+    return utts
+
+
 def owsm_predict(model, speech, fs, src_lang="eng", long_form=False):
-    """OWSM ASR with greedy long-form chunking for >30 s audio
-    (owsm_utils.py:30-83; the reference's model.decode_long is espnet
-    internals — fixed 30 s chunks approximate it)."""
+    """OWSM ASR (owsm_utils.py:30-83): long-form inputs use the segmenting
+    timestamped decode with the reference's fallback to a plain first-30 s
+    decode when long-form decoding raises."""
     model.beam_search.beam_size = BEAMSIZE
     lang_sym = f"<{src_lang}>"
     task_sym = "<asr>"
     if long_form:
-        texts = []
-        chunk = CHUNK_S * fs
-        for st in range(0, len(speech), chunk):
-            seg = speech[st : st + chunk]
-            if len(seg) < fs // 2:
-                break
-            texts.append(_decode_segment(model, seg, fs, lang_sym, task_sym))
-        return " ".join(texts)
+        try:
+            utts = decode_long(model, speech, fs, lang_sym, task_sym)
+            return "\n".join(
+                f"[{format_timestamp(seconds=t1)} --> "
+                f"{format_timestamp(seconds=t2)}] {res}"
+                for t1, t2, res in utts
+            )
+        except Exception:
+            print(
+                "An exception occurred in long-form decoding. "
+                "Fall back to standard decoding (only first 30s)", flush=True
+            )
+            speech = speech[: CHUNK_S * fs]
     return _decode_segment(model, speech, fs, lang_sym, task_sym)
 
 
@@ -147,4 +228,4 @@ if __name__ == "__main__":
     try:
         main(parser.parse_args())
     except BackendUnavailable as e:
-        raise SystemExit(f"ERROR: {e}")
+        exit_backend_unavailable(e)

@@ -67,10 +67,11 @@ def test_cli_reaches_backend_gate(scps, tmp_path, script, needs_ref, needs_meta,
                        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
                             "PYTHONPATH": str(REPO)})
     combined = r.stdout + r.stderr
-    # no weights/egress in-image: the CLI must exit with the actionable
-    # BackendUnavailable message, not a traceback
-    assert r.returncode != 0
-    assert "ERROR:" in combined, combined[-2000:]
+    # no weights/egress in-image: the CLI must exit with the dedicated
+    # backend-unavailable code 86 (so eval_all.sh can skip-and-report),
+    # carrying the actionable message, not a traceback
+    assert r.returncode == 86, (r.returncode, combined[-2000:])
+    assert "SKIPPED (backend unavailable)" in combined, combined[-2000:]
     assert "Traceback" not in combined, combined[-2000:]
 
 
