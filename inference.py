@@ -31,19 +31,24 @@ def _enhance_fns(kind, params, model_cfg, stft_cfg, nfe=15, solver="euler"):
     if kind == "discriminative":
 
         @partial(jax.jit, static_argnums=(1,))
-        def enhance(wav, fs):
-            out, _ = bsrnn_mod.bsrnn_se_apply(params, model_cfg, stft_cfg, wav, fs)
+        def enhance(wav, fs, lengths):
+            # lengths make the bucket padding EXACT: out[b, :lengths[b]]
+            # equals the reference's exact-length processing
+            # (tests/test_length_masking.py pins this)
+            out, _ = bsrnn_mod.bsrnn_se_apply(
+                params, model_cfg, stft_cfg, wav, fs, lengths=lengths
+            )
             return out
 
-        return lambda wav, fs, key: enhance(wav, fs)
+        return lambda wav, fs, key, lengths: enhance(wav, fs, lengths)
 
     @partial(jax.jit, static_argnums=(2,))
-    def enhance_flow(wav, key, fs):
+    def enhance_flow(wav, key, fs, lengths):
         return flow_mod.flowse_enhance(
-            params, model_cfg, key, wav, fs, N=nfe, solver=solver
+            params, model_cfg, key, wav, fs, N=nfe, solver=solver, lengths=lengths
         )
 
-    return lambda wav, fs, key: enhance_flow(wav, key, fs)
+    return lambda wav, fs, key, lengths: enhance_flow(wav, key, fs, lengths)
 
 
 def main(args):
@@ -87,18 +92,26 @@ def main(args):
             T = wav.shape[0]
             key, sub = jax.random.split(key)
             if T > args.chunk_seconds * sr:
-                # long-form: fixed-shape chunked overlap-add (one program)
+                # long-form: fixed-shape chunked overlap-add (one program);
+                # chunks are full so no length masking is needed
                 enhanced = enhance_streaming(
-                    lambda x: np.asarray(enhance(jnp.asarray(x), int(sr), sub)),
+                    lambda x: np.asarray(
+                        enhance(jnp.asarray(x), int(sr), sub,
+                                jnp.full((x.shape[0],), x.shape[1], jnp.int32))
+                    ),
                     wav.astype(np.float32), int(sr),
                     chunk_seconds=args.chunk_seconds,
                 )
             else:
-                # pad to 1 s buckets: bounded compile count over lengths
+                # pad to 1 s buckets: bounded compile count over lengths;
+                # the lengths argument makes the padding numerically exact
                 bucket = -(-T // sr) * sr
                 x = np.zeros((1, bucket), np.float32)
                 x[0, :T] = wav
-                enhanced = np.asarray(enhance(jnp.asarray(x), int(sr), sub))[0, :T]
+                enhanced = np.asarray(
+                    enhance(jnp.asarray(x), int(sr), sub,
+                            jnp.asarray([T], jnp.int32))
+                )[0, :T]
             enhanced = enhanced / (np.abs(enhanced).max() or 1.0) * 0.9
             out_path = f"{args.output_dir}/wav/{uid}.wav"
             sf.write(out_path, enhanced, sr)
@@ -139,7 +152,10 @@ def _main_batched(args, enhance, input_audios):
                 wav = wav[:, 0]
             key, sub = jax.random.split(key)
             y = enhance_streaming(
-                lambda x: np.asarray(enhance(jnp.asarray(x), int(fs), sub)),
+                lambda x: np.asarray(
+                    enhance(jnp.asarray(x), int(fs), sub,
+                            jnp.full((x.shape[0],), x.shape[1], jnp.int32))
+                ),
                 wav.astype(np.float32), int(fs), chunk_seconds=args.chunk_seconds,
             )
             y = y / (np.abs(y).max() or 1.0) * 0.9
@@ -150,13 +166,19 @@ def _main_batched(args, enhance, input_audios):
             for i in range(0, len(items), args.batch_size):
                 chunk = items[i : i + args.batch_size]
                 x = np.zeros((args.batch_size, bucket), np.float32)
+                # filler rows get full length: their all-zero audio is
+                # processed harmlessly (length 0 would zero norm denominators)
+                lens = np.full((args.batch_size,), bucket, np.int32)
                 for j, (uid, path, frames) in enumerate(chunk):
                     wav, _ = audio_io.read(path)
                     if wav.ndim > 1:
                         wav = wav[:, 0]
                     x[j, : len(wav)] = wav
+                    lens[j] = len(wav)
                 key, sub = jax.random.split(key)
-                out = np.asarray(enhance(jnp.asarray(x), int(fs), sub))
+                out = np.asarray(
+                    enhance(jnp.asarray(x), int(fs), sub, jnp.asarray(lens))
+                )
                 for j, (uid, path, frames) in enumerate(chunk):
                     y = out[j, :frames]
                     y = y / (np.abs(y).max() or 1.0) * 0.9

@@ -46,9 +46,10 @@ def main():
     clean = (0.1 * rng.standard_normal((B, T))).astype(np.float32)
     noisy = clean + (0.05 * rng.standard_normal((B, T))).astype(np.float32)
     key = jax.random.PRNGKey(1)
+    lengths = np.full((B,), T, np.int32)
 
     # warmup/compile (donated buffers -> must rethread state)
-    params, opt_state, _, m = step_fn(params, opt_state, None, key, clean, noisy)
+    params, opt_state, _, m = step_fn(params, opt_state, None, key, clean, noisy, lengths)
     jax.block_until_ready(m["loss"])
     print(f"compile ok, loss={float(m['loss']):.4f}", flush=True)
 
@@ -56,7 +57,7 @@ def main():
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        params, opt_state, _, m = step_fn(params, opt_state, None, key, clean, noisy)
+        params, opt_state, _, m = step_fn(params, opt_state, None, key, clean, noisy, lengths)
         jax.block_until_ready(m["loss"])
         times.append(time.perf_counter() - t0)
     # median: the remote-TPU tunnel occasionally stalls one dispatch

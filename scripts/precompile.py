@@ -74,7 +74,8 @@ def main():
             t0 = time.perf_counter()
             step = make_train_step(bundle, optimizer, cfg, fs)
             p_train, o_train, ema, m = step(
-                p_train, o_train, ema, jax.random.PRNGKey(1), x, x
+                p_train, o_train, ema, jax.random.PRNGKey(1), x, x,
+                np.full((args.batch_size,), T, np.int32),
             )
             jax.block_until_ready(m["loss"])
             print(f"train fs={fs}: compiled in {time.perf_counter()-t0:.1f}s", flush=True)

@@ -38,6 +38,7 @@ __all__ = [
     "stft_encode",
     "stft_decode",
     "num_frames",
+    "reflect_tail",
 ]
 
 
@@ -70,6 +71,26 @@ def _frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     n = 1 + (x.shape[-1] - n_fft) // hop
     idx = _frame_indices(n, n_fft, hop)
     return x[..., idx]
+
+
+def reflect_tail(x: jnp.ndarray, lengths: jnp.ndarray, margin: int) -> jnp.ndarray:
+    """Rewrite the padding of (B, T) rows so a later center-STFT sees exactly
+    what an exact-length STFT would: samples [L, L+margin) become the
+    reflection of the signal around L-1 (torch.stft pad_mode="reflect" at the
+    right edge of a length-L signal), everything after is zero.
+
+    ``margin`` should be n_fft//2 of the downstream STFT.  If a row's bucket
+    leaves less than ``margin`` samples of room the reflection is truncated —
+    the buffer-edge reflect pad of the padded STFT then takes over, which is
+    the exact-length behavior whenever L == T.
+    """
+    T = x.shape[-1]
+    L = lengths[:, None]
+    t = jnp.arange(T)[None, :]
+    mirror = jnp.clip(2 * L - 2 - t, 0, T - 1)
+    idx = jnp.where((t >= L) & (t < L + margin), mirror, jnp.minimum(t, T - 1))
+    out = jnp.take_along_axis(x, idx.astype(jnp.int32), axis=-1)
+    return jnp.where(t < L + margin, out, jnp.zeros_like(out))
 
 
 def stft(
@@ -120,26 +141,11 @@ def _ola_envelope(n_frames: int, n_fft: int, hop: int, win_length: int) -> np.nd
     return np.maximum(env, 1e-11).astype(np.float32)
 
 
-def istft(
-    spec: jnp.ndarray,
-    n_fft: int,
-    hop_length: int,
-    win_length: Optional[int] = None,
-    window: Optional[jnp.ndarray] = None,
-    center: bool = True,
-    length: Optional[int] = None,
-) -> jnp.ndarray:
-    """torch.istft-compatible inverse STFT.  spec: (..., n_frames, n_bins)."""
-    win_length = win_length or n_fft
-    if window is None:
-        window = hann_window(win_length, jnp.float32)
-    if win_length < n_fft:
-        left = (n_fft - win_length) // 2
-        window = jnp.pad(window, (left, n_fft - win_length - left))
-    n_frames = spec.shape[-2]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+def _ola(frames: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """Overlap-add (..., n_frames, n_fft) -> (..., hop*(n_frames-1)+n_fft)."""
+    n_frames = frames.shape[-2]
     total = hop_length * (n_frames - 1) + n_fft
-    lead = spec.shape[:-2]
+    lead = frames.shape[:-2]
     if n_fft % hop_length == 0:
         # TPU-friendly overlap-add: when hop divides n_fft each output chunk
         # of `hop` samples receives exactly r = n_fft/hop frame slices, so
@@ -151,13 +157,49 @@ def istft(
             pad = [(0, 0)] * len(lead) + [(i, r - 1 - i), (0, 0)]
             contrib = jnp.pad(fr[..., :, i, :], pad)
             out = contrib if out is None else out + contrib
-        out = out.reshape(lead + (total,))
+        return out.reshape(lead + (total,))
+    # odd geometries (e.g. fs=22050 -> n_fft=441, hop=220): scatter-add
+    idx = _frame_indices(n_frames, n_fft, hop_length).reshape(-1)
+    out = jnp.zeros(lead + (total,), frames.dtype)
+    return out.at[..., idx].add(frames.reshape(lead + (-1,)))
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: Optional[int] = None,
+    window: Optional[jnp.ndarray] = None,
+    center: bool = True,
+    length: Optional[int] = None,
+    frame_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """torch.istft-compatible inverse STFT.  spec: (..., n_frames, n_bins).
+
+    ``frame_mask`` (..., n_frames) restricts the synthesis to the masked
+    frames: masked frames contribute neither signal nor window energy to the
+    overlap-add, so the output over the valid region equals torch.istft of
+    the valid frames alone — the length-exact path for bucket-padded batches
+    (the reference always synthesizes exact-length signals).
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length, jnp.float32)
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        window = jnp.pad(window, (left, n_fft - win_length - left))
+    n_frames = spec.shape[-2]
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+    total = hop_length * (n_frames - 1) + n_fft
+    if frame_mask is not None:
+        frames = frames * frame_mask[..., None]
+    out = _ola(frames, n_fft, hop_length)
+    if frame_mask is None:
+        env = jnp.asarray(_ola_envelope(n_frames, n_fft, hop_length, win_length))
     else:
-        # odd geometries (e.g. fs=22050 -> n_fft=441, hop=220): scatter-add
-        idx = _frame_indices(n_frames, n_fft, hop_length).reshape(-1)
-        out = jnp.zeros(lead + (total,), frames.real.dtype)
-        out = out.at[..., idx].add(frames.reshape(lead + (-1,)))
-    env = jnp.asarray(_ola_envelope(n_frames, n_fft, hop_length, win_length))
+        # per-row envelope from the valid frames only
+        wsq = (window.astype(jnp.float32) ** 2)[None, :] * frame_mask[..., None]
+        env = jnp.maximum(_ola(wsq, n_fft, hop_length), 1e-11)
     out = out / env
     if center:
         # Drop the n_fft//2 leading pad; keep the tail until `length` is
@@ -273,9 +315,16 @@ def stft_encode(x: jnp.ndarray, fs: int, cfg: STFTConfig) -> jnp.ndarray:
 
 
 def stft_decode(
-    spec: jnp.ndarray, fs: int, cfg: STFTConfig, length: Optional[int] = None
+    spec: jnp.ndarray,
+    fs: int,
+    cfg: STFTConfig,
+    length: Optional[int] = None,
+    frame_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Compressed complex spectrum (..., frames, bins) -> waveform (..., T)."""
     spec = spec_inverse_transform(spec, cfg)
     n_fft, win, hop = cfg.geometry(fs)
-    return istft(spec, n_fft, hop, win_length=win, center=cfg.center, length=length)
+    return istft(
+        spec, n_fft, hop, win_length=win, center=cfg.center, length=length,
+        frame_mask=frame_mask,
+    )

@@ -278,14 +278,19 @@ def init_bsrnn(key, cfg: BSRNNConfig):
 # ---------------------------------------------------------------------------
 
 
-def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps):
-    """(B, T, F) complex -> (B, T, K, N)."""
+def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps,
+                      fm: Optional[jnp.ndarray] = None):
+    """(B, T, F) complex -> (B, T, K, N).  ``fm`` (B, T): valid-frame mask —
+    when given, padded frames are excluded from the norm statistics (the
+    reference normalizes exact-length signals)."""
     B, T, F = spec.shape
     gather, chan_mask, _ = _band_maps(cfg.subbands, F, n_bands)
     x2 = jnp.stack([spec.real, spec.imag], axis=-1).reshape(B, T, 2 * F)
     x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, 1)))  # zero slot
     blocks = x2[..., jnp.asarray(gather)]  # (B, T, K, W)
     mask = jnp.asarray(chan_mask)[None, None]  # (1, 1, K, W)
+    if fm is not None:
+        mask = mask * fm[:, :, None, None]
     h = masked_group_norm(
         blocks,
         p["norm_scale"][:n_bands][None, None],
@@ -304,15 +309,29 @@ def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps)
     return z + p["b"][:n_bands][None, None]
 
 
-def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
+def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
+                     frames: Optional[jnp.ndarray] = None,
+                     fm: Optional[jnp.ndarray] = None):
     """One dual-path block on (B, T, K, N).  Norms and the residual stream
-    stay float32; the LSTM/linear matmuls run in cfg.compute_dtype."""
+    stay float32; the LSTM/linear matmuls run in cfg.compute_dtype.
+
+    With ``frames`` (B,) + ``fm`` (B, T) the block is length-exact: the two
+    GroupNorms exclude padded frames from their statistics and the
+    bidirectional time recurrence length-reverses its backward direction, so
+    activations at valid frames are independent of the bucket padding."""
     B, T, K, N = z.shape
     cdtype = jnp.dtype(cfg.compute_dtype)
+    fm4 = None if fm is None else fm[:, :, None, None]
     # --- time path ---
-    out = group_norm(
-        z, layer["norm_time_scale"], layer["norm_time_bias"], axes=(1, 2, 3), eps=eps
-    )
+    if fm4 is None:
+        out = group_norm(
+            z, layer["norm_time_scale"], layer["norm_time_bias"], axes=(1, 2, 3), eps=eps
+        )
+    else:
+        out = masked_group_norm(
+            z, layer["norm_time_scale"], layer["norm_time_bias"], fm4,
+            axes=(1, 2, 3), eps=eps,
+        )
     if t is not None:
         # GaussianFourierProjection (models/bsrnn_flowse.py:90-99): per-layer
         # random Fourier t-embedding of size N, broadcast over (T, K).
@@ -322,6 +341,11 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
     seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N).astype(cdtype)
     if cfg.causal:
         h = lstm_ops.lstm(layer["rnn_time"], seq)
+    elif frames is not None:
+        h = lstm_ops.bilstm_masked(
+            layer["rnn_time"], seq, jnp.repeat(frames, K),
+            use_pallas=cfg.use_pallas_lstm,
+        )
     elif cfg.use_pallas_lstm:
         from urgent2026_challenge_track1_tpu.ops.pallas_lstm import bilstm_pallas
 
@@ -331,10 +355,17 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
     h = jnp.dot(h, layer["fc_time_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_time_b"]
     z = z + h.reshape(B, K, T, N).transpose(0, 2, 1, 3)
-    # --- band path ---
-    out = group_norm(
-        z, layer["norm_freq_scale"], layer["norm_freq_bias"], axes=(1, 2, 3), eps=eps
-    )
+    # --- band path --- (the band recurrence runs over K per frame: padded
+    # frames are independent batch rows there and cannot leak into valid ones)
+    if fm4 is None:
+        out = group_norm(
+            z, layer["norm_freq_scale"], layer["norm_freq_bias"], axes=(1, 2, 3), eps=eps
+        )
+    else:
+        out = masked_group_norm(
+            z, layer["norm_freq_scale"], layer["norm_freq_bias"], fm4,
+            axes=(1, 2, 3), eps=eps,
+        )
     seq = out.reshape(B * T, K, N).astype(cdtype)
     if cfg.use_pallas_lstm:
         from urgent2026_challenge_track1_tpu.ops.pallas_lstm import bilstm_pallas
@@ -348,7 +379,9 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
     return z
 
 
-def _run_layers(params, z, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
+def _run_layers(params, z, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
+                frames: Optional[jnp.ndarray] = None,
+                fm: Optional[jnp.ndarray] = None):
     layer_fn = _dual_path_layer
     if cfg.remat:
         # recompute layer activations in the backward pass: training the
@@ -359,20 +392,27 @@ def _run_layers(params, z, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps):
         )
 
     def body(carry, layer):
-        return layer_fn(carry, layer, cfg, t, eps), None
+        return layer_fn(carry, layer, cfg, t, eps, frames, fm), None
 
     z, _ = jax.lax.scan(body, z, params["layers"])
     return z
 
 
-def _mask_decoder_head(p, z, cfg: BSRNNConfig, n_bands: int, n_bins: int, eps):
+def _mask_decoder_head(p, z, cfg: BSRNNConfig, n_bands: int, n_bins: int, eps,
+                       fm: Optional[jnp.ndarray] = None):
     """(B, T, K, N) -> (B, T, n_bins) complex (one head: mask or residual)."""
     B, T, K, N = z.shape
     _, chan_mask, flat_valid = _band_maps(cfg.subbands, n_bins, n_bands)
     # per-band GroupNorm(1, C) over (C, T): stats per (batch, band)
     h = z
-    mean = jnp.mean(h, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(h - mean), axis=(1, 3), keepdims=True)
+    if fm is None:
+        mean = jnp.mean(h, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(h - mean), axis=(1, 3), keepdims=True)
+    else:
+        m4 = fm[:, :, None, None]
+        denom = jnp.sum(m4, axis=1, keepdims=True) * N
+        mean = jnp.sum(h * m4, axis=(1, 3), keepdims=True) / denom
+        var = jnp.sum(jnp.square(h - mean) * m4, axis=(1, 3), keepdims=True) / denom
     h = (h - mean) / jnp.sqrt(var + eps)
     h = h * p["norm_scale"][:n_bands][None, None] + p["norm_bias"][:n_bands][None, None]
     cdtype = jnp.dtype(cfg.compute_dtype)
@@ -392,6 +432,13 @@ def _mask_decoder_head(p, z, cfg: BSRNNConfig, n_bands: int, n_bins: int, eps):
     return cplx[..., jnp.asarray(flat_valid)]  # (B, T, n_bins)
 
 
+def frame_validity(lengths: jnp.ndarray, n_frames: int, n_fft: int, hop: int):
+    """(frames (B,), fm (B, n_frames)) for exact-length STFT geometry."""
+    frames = 1 + (lengths.astype(jnp.int32) + 2 * (n_fft // 2) - n_fft) // hop
+    fm = (jnp.arange(n_frames)[None, :] < frames[:, None]).astype(jnp.float32)
+    return frames, fm
+
+
 def bsrnn_apply(
     params,
     spec: jnp.ndarray,
@@ -399,18 +446,26 @@ def bsrnn_apply(
     fs: int,
     t: Optional[jnp.ndarray] = None,
     spec_cond: Optional[jnp.ndarray] = None,
+    frames: Optional[jnp.ndarray] = None,
 ):
     """Core discriminative BSRNN.  spec: (B, T, F) complex at rate ``fs``;
     returns mask*spec + residual.  The conditional (flow/score) variant with
     the GradDecoder head lives in models/bsrnn_flowse.py (``spec_cond`` /
-    ``t`` are accepted for signature compatibility there)."""
+    ``t`` are accepted for signature compatibility there).
+
+    ``frames`` (B,): valid-frame counts — activates the length-exact path
+    (masked norms + length-reversed backward recurrences) so outputs at
+    valid frames are independent of the bucket padding."""
     B, T, F = spec.shape
     eps = cfg.norm_eps
     K = band_count(cfg.input_dim, cfg.target_fs, fs, F)
-    z = _band_split_apply(params["band_split"], spec, cfg, K, eps)
-    z = _run_layers(params, z, cfg, t, eps)
-    m = _mask_decoder_head(params["mask_decoder"]["mask"], z, cfg, K, F, eps)
-    r = _mask_decoder_head(params["mask_decoder"]["residual"], z, cfg, K, F, eps)
+    fm = None
+    if frames is not None:
+        fm = (jnp.arange(T)[None, :] < frames[:, None]).astype(jnp.float32)
+    z = _band_split_apply(params["band_split"], spec, cfg, K, eps, fm)
+    z = _run_layers(params, z, cfg, t, eps, frames, fm)
+    m = _mask_decoder_head(params["mask_decoder"]["mask"], z, cfg, K, F, eps, fm)
+    r = _mask_decoder_head(params["mask_decoder"]["residual"], z, cfg, K, F, eps, fm)
     return m * spec + r
 
 
@@ -419,14 +474,32 @@ def bsrnn_apply(
 # ---------------------------------------------------------------------------
 
 
-def bsrnn_se_apply(params, cfg: BSRNNConfig, stft_cfg, noisy: jnp.ndarray, fs: int):
+def bsrnn_se_apply(params, cfg: BSRNNConfig, stft_cfg, noisy: jnp.ndarray, fs: int,
+                   lengths: Optional[jnp.ndarray] = None):
     """Waveform SE model (reference models/bsrnn.py:36-41).
 
     noisy: (B, T) waveform -> (enhanced (B, T), enhanced_spec (B, frames, bins)).
+
+    With ``lengths`` (B,) the whole pipeline is length-exact: masked norm
+    statistics, length-reversed backward recurrences, and a masked-envelope
+    iSTFT, so ``out[b, :lengths[b]]`` is independent of the bucket padding
+    (the reference processes exact batch-max-length signals, dataset.py:404).
     """
     from urgent2026_challenge_track1_tpu.dsp import stft as dsp
 
-    spec = dsp.stft_encode(noisy, fs, stft_cfg)
-    enh_spec = bsrnn_apply(params, spec, cfg, fs)
-    wav = dsp.stft_decode(enh_spec, fs, stft_cfg, length=noisy.shape[-1])
+    if lengths is None:
+        spec = dsp.stft_encode(noisy, fs, stft_cfg)
+        enh_spec = bsrnn_apply(params, spec, cfg, fs)
+        wav = dsp.stft_decode(enh_spec, fs, stft_cfg, length=noisy.shape[-1])
+        return wav, enh_spec
+    n_fft, _, hop = stft_cfg.geometry(fs)
+    # encode with the exact-length reflect tail so the valid frames are
+    # bitwise what an exact-length (reference) STFT produces
+    spec = dsp.stft_encode(dsp.reflect_tail(noisy, lengths, n_fft // 2), fs, stft_cfg)
+    frames, fm = frame_validity(lengths, spec.shape[1], n_fft, hop)
+    enh_spec = bsrnn_apply(params, spec, cfg, fs, frames=frames)
+    wav = dsp.stft_decode(
+        enh_spec, fs, stft_cfg, length=noisy.shape[-1], frame_mask=fm
+    )
+    wav = wav * (jnp.arange(wav.shape[-1])[None, :] < lengths[:, None])
     return wav, enh_spec

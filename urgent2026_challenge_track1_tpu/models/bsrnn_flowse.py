@@ -116,8 +116,12 @@ def _init_grad_decoder(key, cfg: B.BSRNNConfig):
     return heads
 
 
-def _grad_decoder_head(p, z, cfg: B.BSRNNConfig, n_bands: int, n_bins: int, eps):
-    """(B, T, K, N) -> (B, T, n_bins) complex."""
+def _grad_decoder_head(p, z, cfg: B.BSRNNConfig, n_bands: int, n_bins: int, eps,
+                       fm=None):
+    """(B, T, K, N) -> (B, T, n_bins) complex.  ``fm`` (B, T): valid-frame
+    mask — masks the GroupNorm statistics and zeroes padded frames before
+    the 5x5 conv so its ±2-frame receptive field sees the same zeros an
+    exact-length conv padding would."""
     Bb, T, K, N = z.shape
     sc, SM = cfg.sub_channel, cfg.max_sub
     # ALL rows of the K used bands, including the last band's overhang past
@@ -129,13 +133,21 @@ def _grad_decoder_head(p, z, cfg: B.BSRNNConfig, n_bands: int, n_bins: int, eps)
         [np.arange(s) + i * SM for i, s in enumerate(subs)]
     ).astype(np.int32)
     # per-band GroupNorm(1, C) over (C, T)
-    mean = jnp.mean(z, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(z - mean), axis=(1, 3), keepdims=True)
+    if fm is None:
+        mean = jnp.mean(z, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(z - mean), axis=(1, 3), keepdims=True)
+    else:
+        m4 = fm[:, :, None, None]
+        denom = jnp.sum(m4, axis=1, keepdims=True) * N
+        mean = jnp.sum(z * m4, axis=(1, 3), keepdims=True) / denom
+        var = jnp.sum(jnp.square(z - mean) * m4, axis=(1, 3), keepdims=True) / denom
     h = (z - mean) / jnp.sqrt(var + eps)
     h = h * p["norm_scale"][:n_bands][None, None] + p["norm_bias"][:n_bands][None, None]
     h = jnp.tanh(
         jnp.einsum("btkc,kcsm->btksm", h, p["w"][:n_bands]) + p["b"][:n_bands][None, None]
     )  # (B, T, K, sc, SM)
+    if fm is not None:
+        h = h * fm[:, :, None, None, None]
     # concat bands along frequency (full subband rows) -> (B, T, sc, F_total)
     flat = h.transpose(0, 1, 3, 2, 4).reshape(Bb, T, sc, K * SM)
     feff = flat[..., jnp.asarray(flat_full)]  # (B, T, sc, F_total)
@@ -167,26 +179,32 @@ def init_flowse(key, cfg: FlowSEConfig):
     return params
 
 
-def _dnn_apply(params, cfg: B.BSRNNConfig, x_spec, y_spec, t, fs: int):
-    """Conditional BSRNN: g = m * x_t + r (models/bsrnn_flowse.py:255-318)."""
-    _, _, F = x_spec.shape
+def _dnn_apply(params, cfg: B.BSRNNConfig, x_spec, y_spec, t, fs: int, frames=None):
+    """Conditional BSRNN: g = m * x_t + r (models/bsrnn_flowse.py:255-318).
+
+    ``frames`` (B,): valid-frame counts — activates the length-exact path
+    (masked norms, length-reversed backward recurrences, zeroed conv halo)."""
+    _, T, F = x_spec.shape
     eps = cfg.norm_eps
     K = B.band_count(cfg.input_dim, cfg.target_fs, fs, F)
-    zx = B._band_split_apply(params["band_split"], x_spec, cfg, K, eps)
-    zy = B._band_split_apply(params["band_split_y"], y_spec, cfg, K, eps)
+    fm = None
+    if frames is not None:
+        fm = (jnp.arange(T)[None, :] < frames[:, None]).astype(jnp.float32)
+    zx = B._band_split_apply(params["band_split"], x_spec, cfg, K, eps, fm)
+    zy = B._band_split_apply(params["band_split_y"], y_spec, cfg, K, eps, fm)
     z = (
         jnp.concatenate([zx, zy], axis=-1) @ params["condition_fc_w"]
         + params["condition_fc_b"]
     )
-    z = B._run_layers(params, z, cfg, t, eps)
-    m = _grad_decoder_head(params["grad_decoder"]["mask"], z, cfg, K, F, eps)
-    r = _grad_decoder_head(params["grad_decoder"]["residual"], z, cfg, K, F, eps)
+    z = B._run_layers(params, z, cfg, t, eps, frames, fm)
+    m = _grad_decoder_head(params["grad_decoder"]["mask"], z, cfg, K, F, eps, fm)
+    r = _grad_decoder_head(params["grad_decoder"]["residual"], z, cfg, K, F, eps, fm)
     return m * x_spec + r
 
 
-def vector_field(params, cfg: FlowSEConfig, x, t, y, fs: int):
+def vector_field(params, cfg: FlowSEConfig, x, t, y, fs: int, frames=None):
     """VF(x, t, y) = -dnn(x, y, t)  (flow_model.py:203-209)."""
-    return -_dnn_apply(params, cfg.dnn_cfg, x, y, t, fs)
+    return -_dnn_apply(params, cfg.dnn_cfg, x, y, t, fs, frames)
 
 
 # ---------------------------------------------------------------------------
@@ -194,23 +212,45 @@ def vector_field(params, cfg: FlowSEConfig, x, t, y, fs: int):
 # ---------------------------------------------------------------------------
 
 
-def flowse_loss(params, cfg: FlowSEConfig, key, clean, noisy, fs: int):
-    """Conditional-flow-matching loss (flow_model.py:149-187).  (B,T) wavs."""
+def flowse_loss(
+    params, cfg: FlowSEConfig, key, clean, noisy, fs: int, lengths=None,
+    noise=None, t=None,
+):
+    """Conditional-flow-matching loss (flow_model.py:149-187).  (B,T) wavs.
+
+    With ``lengths`` (B,), the whole step is length-exact: the network runs
+    masked (padding-independent activations at valid frames) and the
+    sum-over-(T,F) covers each utterance's valid STFT frames only, so the
+    loss is independent of the static bucket padding (reference semantics
+    are exact batch-max-length signals).  ``noise``/``t`` override the
+    random draws (the pad-invariance property test pins them, since random
+    draws are shape-dependent)."""
     clean = jnp.nan_to_num(clean)
     noisy = jnp.nan_to_num(noisy)
+    if lengths is not None:
+        # exact-length reflect tails: valid frames match the reference's
+        # exact-length STFT instead of seeing the zero bucket padding
+        n_fft_w, _, _ = cfg.stft_cfg.geometry(fs)
+        clean = dsp.reflect_tail(clean, lengths, n_fft_w // 2)
+        noisy = dsp.reflect_tail(noisy, lengths, n_fft_w // 2)
     x0 = dsp.stft_encode(clean, fs, cfg.stft_cfg)
     y = dsp.stft_encode(noisy, fs, cfg.stft_cfg)
     kt, kz = jax.random.split(key)
     Bsz = x0.shape[0]
-    # t = (1 - U[0,1)) * (T_rev - t_eps) + t_eps  in (t_eps, T_rev]
-    u = jax.random.uniform(kt, (Bsz,), jnp.float32)
-    t = jnp.minimum((1.0 - u) * (cfg.T_rev - cfg.t_eps) + cfg.t_eps, cfg.T_rev)
+    if t is None:
+        # t = (1 - U[0,1)) * (T_rev - t_eps) + t_eps  in (t_eps, T_rev]
+        u = jax.random.uniform(kt, (Bsz,), jnp.float32)
+        t = jnp.minimum((1.0 - u) * (cfg.T_rev - cfg.t_eps) + cfg.t_eps, cfg.T_rev)
     ode = cfg.ode
     mean, std = ode.marginal_prob(x0, t, y)
-    z = complex_normal_like(kz, x0)
+    z = complex_normal_like(kz, x0) if noise is None else noise
     xt = mean + std.reshape(-1, 1, 1) * z
     cond_vf = ode.der_std(t).reshape(-1, 1, 1) * z + ode.der_mean(x0, t, y)
-    vf = vector_field(params, cfg, xt, t, y, fs)
+    frames = None
+    if lengths is not None:
+        n_fft, _, hop = cfg.stft_cfg.geometry(fs)
+        frames, _ = B.frame_validity(lengths, x0.shape[1], n_fft, hop)
+    vf = vector_field(params, cfg, xt, t, y, fs, frames)
     err = vf - cond_vf
     if cfg.loss_type == "mse":
         losses = jnp.square(jnp.abs(err))
@@ -218,20 +258,44 @@ def flowse_loss(params, cfg: FlowSEConfig, key, clean, noisy, fs: int):
         losses = jnp.abs(err)
     else:
         raise ValueError(cfg.loss_type)
+    if lengths is not None:
+        from urgent2026_challenge_track1_tpu.train.losses import frame_mask
+
+        n_fft, _, hop = cfg.stft_cfg.geometry(fs)
+        fm = frame_mask(lengths, n_fft, hop, losses.shape[1])
+        losses = losses * fm[..., None]
     # 0.5 * sum over (T, F) then mean over batch (flow_model.py:122-132)
     return jnp.mean(0.5 * jnp.sum(losses.reshape(Bsz, -1), axis=-1))
 
 
 def flowse_enhance(
-    params, cfg: FlowSEConfig, key, noisy, fs: int, N: int = 15, solver: str = "euler"
+    params, cfg: FlowSEConfig, key, noisy, fs: int, N: int = 15,
+    solver: str = "euler", lengths=None,
 ):
-    """Sampler-based enhancement (flow_model.py:189-200).  (B,T) -> (B,T)."""
-    y = dsp.stft_encode(noisy, fs, cfg.stft_cfg)
+    """Sampler-based enhancement (flow_model.py:189-200).  (B,T) -> (B,T).
+
+    With ``lengths`` the vector-field network runs length-exact and the
+    iSTFT uses the masked envelope (the prior noise is still drawn at the
+    padded shape, so unlike the discriminative path the sample is
+    pad-independent only in distribution, not bitwise)."""
+    frames = fm = None
+    if lengths is not None:
+        n_fft, _, hop = cfg.stft_cfg.geometry(fs)
+        noisy_enc = dsp.reflect_tail(noisy, lengths, n_fft // 2)
+        y = dsp.stft_encode(noisy_enc, fs, cfg.stft_cfg)
+        frames, fm = B.frame_validity(lengths, y.shape[1], n_fft, hop)
+    else:
+        y = dsp.stft_encode(noisy, fs, cfg.stft_cfg)
 
     def vf_fn(x, t, y_):
-        return vector_field(params, cfg, x, t, y_, fs)
+        return vector_field(params, cfg, x, t, y_, fs, frames)
 
     sample, _ = sample_flow(
         vf_fn, cfg.ode, key, y, solver=solver, N=N, T_rev=cfg.T_rev, t_eps=cfg.t_eps
     )
-    return dsp.stft_decode(sample, fs, cfg.stft_cfg, length=noisy.shape[-1])
+    wav = dsp.stft_decode(
+        sample, fs, cfg.stft_cfg, length=noisy.shape[-1], frame_mask=fm
+    )
+    if lengths is not None:
+        wav = wav * (jnp.arange(wav.shape[-1])[None, :] < lengths[:, None])
+    return wav

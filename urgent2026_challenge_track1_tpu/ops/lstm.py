@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["init_lstm", "lstm", "bilstm"]
+__all__ = ["init_lstm", "lstm", "bilstm", "length_reverse", "bilstm_masked"]
 
 
 def _uniform(key, shape, bound, dtype=jnp.float32):
@@ -106,4 +106,62 @@ def bilstm(params, x: jnp.ndarray) -> jnp.ndarray:
     bwd = _scan_dir(
         proj[..., fourH:], params["w_hh_reverse"].T.astype(dtype), hidden, True
     )
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def length_reverse(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row's first ``lengths[b]`` steps; padding stays in place.
+
+    x: (B, T, ...), lengths: (B,) int.  Involutive: applying twice restores x.
+    This is the packed-sequence trick that makes a bidirectional recurrence
+    length-exact: the backward direction consumes the reversed VALID prefix,
+    so its states at valid positions never depend on how far the batch was
+    padded (torch cuDNN semantics with pack_padded_sequence).
+    """
+    T = x.shape[1]
+    t = jnp.arange(T)[None, :]
+    idx = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def bilstm_masked(
+    params, x: jnp.ndarray, lengths: jnp.ndarray, use_pallas: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Length-exact bidirectional LSTM.  x: (B, T, I), lengths: (B,) valid
+    step counts -> (B, T, 2H); outputs at positions < lengths[b] are
+    independent of T (the bucket padding).
+
+    Forward direction is already pad-exact (padding comes after the valid
+    prefix); the backward direction runs as a FORWARD scan over the
+    length-reversed input, then its outputs are un-reversed.  With
+    ``use_pallas`` both directions run on the custom-VJP Pallas training
+    kernels (the fused bidirectional inference kernel assumes a shared
+    input layout, which per-row reversal breaks).
+    """
+    dtype = x.dtype
+    w_ih = jnp.concatenate([params["w_ih"], params["w_ih_reverse"]], axis=0)
+    b = jnp.concatenate(
+        [params["b_ih"] + params["b_hh"], params["b_ih_reverse"] + params["b_hh_reverse"]]
+    )
+    proj = x @ w_ih.T.astype(dtype) + b.astype(dtype)  # (B, T, 8H)
+    fourH = params["w_ih"].shape[0]
+    hidden = fourH // 4
+    proj_b_rev = length_reverse(proj[..., fourH:], lengths)
+    if use_pallas:
+        from urgent2026_challenge_track1_tpu.ops import pallas_lstm as pl
+
+        fwd = pl.lstm_dir_pallas(
+            proj[..., :fourH], params["w_hh"].T.astype(dtype), interpret
+        )
+        bwd_r = pl.lstm_dir_pallas(
+            proj_b_rev, params["w_hh_reverse"].T.astype(dtype), interpret
+        )
+    else:
+        fwd = _scan_dir(proj[..., :fourH], params["w_hh"].T.astype(dtype), hidden, False)
+        bwd_r = _scan_dir(
+            proj_b_rev, params["w_hh_reverse"].T.astype(dtype), hidden, False
+        )
+    bwd = length_reverse(bwd_r, lengths)
     return jnp.concatenate([fwd, bwd], axis=-1)

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lstm_scan_pallas", "bilstm_pallas", "lstm_pallas_train", "bilstm_pallas_train"]
+__all__ = [
+    "lstm_scan_pallas",
+    "bilstm_pallas",
+    "lstm_pallas_train",
+    "bilstm_pallas_train",
+    "lstm_dir_pallas",
+]
 
 
 def _vmem_params(interpret: bool) -> dict:
@@ -613,3 +619,22 @@ def bilstm_pallas(params, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
 
 # kept as an alias: callers/tests that want to be explicit about trainability
 bilstm_pallas_train = bilstm_pallas
+
+
+def lstm_dir_pallas(
+    x_proj: jnp.ndarray, w_hh_t: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """One FORWARD-direction recurrence on the custom-VJP training kernel.
+
+    x_proj: (B, T, 4H) input projection incl. biases; w_hh_t: (H, 4H).
+    Used by ops/lstm.bilstm_masked, whose per-row length-reversal makes the
+    two directions consume different input layouts (so the fused
+    bidirectional kernel does not apply).  Handles the same batch padding /
+    grid blocking as bilstm_pallas.
+    """
+    B = x_proj.shape[0]
+    b_block, pad = _bilstm_blocking(B, x_proj.dtype)
+    if pad:
+        x_proj = jnp.pad(x_proj, ((0, pad), (0, 0), (0, 0)))
+    out = lstm_pallas_train(x_proj, w_hh_t, False, b_block, interpret)
+    return out[:B] if pad else out

@@ -19,60 +19,157 @@ The reference imports both from espnet 202412
   pre-processing (used as a monitored metric, ``d_model.py:79-87``).
 
 Both return shape (B,); callers ``.mean()`` like the reference.
+
+Length masking (TPU deviation made exact): this rebuild pads batches to a
+static 1 s bucket boundary instead of the reference's batch-max padding
+(``dataset.py:404-441``).  All losses therefore accept an optional
+``lengths`` (B,) array; when given, every mean/std/inner-product is computed
+over the valid samples only and STFT terms over the valid frames only, so
+the value is independent of how far the batch was padded — equal (up to the
+zero-vs-reflect tail frames) to the reference's exact-length numerics.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 
 from urgent2026_challenge_track1_tpu.dsp import stft as dsp
 
-__all__ = ["multi_res_l1_spec_loss", "si_snr_loss", "si_snr"]
+__all__ = [
+    "multi_res_l1_spec_loss",
+    "si_snr_loss",
+    "si_snr",
+    "length_mask",
+    "frame_mask",
+    "valid_frames",
+]
+
+
+def length_mask(lengths: jnp.ndarray, T: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B,) sample counts -> (B, T) 1/0 validity mask."""
+    return (jnp.arange(T)[None, :] < lengths[:, None]).astype(dtype)
+
+
+def valid_frames(
+    lengths: jnp.ndarray, n_fft: int, hop: int, center: bool = True
+) -> jnp.ndarray:
+    """Per-sample STFT frame count for exact-length signals (B,) -> (B,).
+
+    Matches ``dsp.stft.num_frames`` (torch.stft center=True geometry):
+    1 + (L + 2*(n_fft//2) - n_fft) // hop.
+    """
+    L = lengths.astype(jnp.int32)
+    if center:
+        L = L + 2 * (n_fft // 2)
+    return 1 + (L - n_fft) // hop
+
+
+def frame_mask(
+    lengths: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    n_frames: int,
+    center: bool = True,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(B,) sample counts -> (B, n_frames) STFT-frame validity mask."""
+    nf = valid_frames(lengths, n_fft, hop, center)
+    return (jnp.arange(n_frames)[None, :] < nf[:, None]).astype(dtype)
+
+
+def _masked_std(x: jnp.ndarray, mask: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
+    """torch.std semantics (Bessel ddof=1) over the valid samples only."""
+    mean = jnp.sum(x * mask, axis=-1, keepdims=True) / L
+    var = jnp.sum(jnp.square(x - mean) * mask, axis=-1, keepdims=True) / (L - 1.0)
+    return jnp.sqrt(var)
 
 
 def multi_res_l1_spec_loss(
     target: jnp.ndarray,
     estimate: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
     window_sz: Sequence[int] = (256, 512, 768, 1024),
     eps: float = 1.0e-6,
     time_domain_weight: float = 0.5,
     normalize_variance: bool = True,
     eps_mag: float = 1.0e-6,
 ) -> jnp.ndarray:
-    """Multi-resolution L1 spectral + time L1 loss.  (B, T) -> (B,)."""
+    """Multi-resolution L1 spectral + time L1 loss.  (B, T) -> (B,).
+
+    With ``lengths``, all statistics are masked to the valid samples/frames
+    (see module docstring); without, the reference's full-length math runs.
+    """
     target = target.astype(jnp.float32)
     estimate = estimate.astype(jnp.float32)
+    T = target.shape[-1]
+    if lengths is None:
+        mask = jnp.ones_like(target)
+        L = jnp.full(target.shape[:-1] + (1,), float(T), jnp.float32)
+    else:
+        mask = length_mask(lengths, T)
+        L = lengths.astype(jnp.float32)[:, None]
+        # the model's output is garbage past each utterance's end; zero it so
+        # every downstream sum (and the STFT frames) ignores the padding
+        target = target * mask
+        estimate = estimate * mask
     if normalize_variance:
-        target = target / jnp.std(target, axis=-1, keepdims=True, ddof=1)
-        estimate = estimate / jnp.std(estimate, axis=-1, keepdims=True, ddof=1)
+        target = target / _masked_std(target, mask, L)
+        estimate = estimate / _masked_std(estimate, mask, L)
     scale = jnp.sum(estimate * target, axis=-1, keepdims=True) / (
         jnp.sum(estimate * estimate, axis=-1, keepdims=True) + eps
     )
     est = estimate * scale
-    time_loss = jnp.mean(jnp.abs(est - target), axis=-1)
+    time_loss = jnp.sum(jnp.abs(est - target) * mask, axis=-1) / L[..., 0]
     if not window_sz:
         return time_loss
+    if lengths is not None:
+        # emulate the exact-length reflect padding the reference's torch.stft
+        # applies at each utterance's right edge — the boundary frames then
+        # match the exact-length spectra instead of seeing the zero bucket
+        margin = max(window_sz) // 2
+        target = dsp.reflect_tail(target, lengths, margin)
+        est = dsp.reflect_tail(est, lengths, margin)
     spec_loss = jnp.zeros_like(time_loss)
     for w in window_sz:
         st = dsp.stft(target, w, w // 2)
         se = dsp.stft(est, w, w // 2)
         mt = jnp.sqrt(jnp.square(st.real) + jnp.square(st.imag) + eps_mag)
         me = jnp.sqrt(jnp.square(se.real) + jnp.square(se.imag) + eps_mag)
-        spec_loss = spec_loss + jnp.mean(jnp.abs(me - mt), axis=(-2, -1))
+        diff = jnp.abs(me - mt)
+        if lengths is None:
+            spec_loss = spec_loss + jnp.mean(diff, axis=(-2, -1))
+        else:
+            fm = frame_mask(lengths, w, w // 2, diff.shape[-2])
+            nf = valid_frames(lengths, w, w // 2).astype(jnp.float32)
+            spec_loss = spec_loss + jnp.sum(
+                diff * fm[..., None], axis=(-2, -1)
+            ) / (nf * diff.shape[-1])
     return time_domain_weight * time_loss + (1.0 - time_domain_weight) * (
         spec_loss / len(window_sz)
     )
 
 
 def si_snr(
-    ref: jnp.ndarray, est: jnp.ndarray, zero_mean: bool = True, eps: float = 1.0e-8
+    ref: jnp.ndarray,
+    est: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+    zero_mean: bool = True,
+    eps: float = 1.0e-8,
 ) -> jnp.ndarray:
     """Scale-invariant SNR in dB.  (B, T) x (B, T) -> (B,)."""
     ref = ref.astype(jnp.float32)
     est = est.astype(jnp.float32)
-    if zero_mean:
+    if lengths is not None:
+        mask = length_mask(lengths, ref.shape[-1])
+        L = lengths.astype(jnp.float32)[:, None]
+        ref = ref * mask
+        est = est * mask
+        if zero_mean:
+            ref = (ref - jnp.sum(ref, axis=-1, keepdims=True) / L) * mask
+            est = (est - jnp.sum(est, axis=-1, keepdims=True) / L) * mask
+    elif zero_mean:
         ref = ref - jnp.mean(ref, axis=-1, keepdims=True)
         est = est - jnp.mean(est, axis=-1, keepdims=True)
     alpha = jnp.sum(est * ref, axis=-1, keepdims=True) / (
@@ -86,6 +183,8 @@ def si_snr(
     return 10.0 * jnp.log10(ratio + eps)
 
 
-def si_snr_loss(ref: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
+def si_snr_loss(
+    ref: jnp.ndarray, est: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """espnet SISNRLoss semantics: the NEGATIVE SI-SNR (a loss), shape (B,)."""
-    return -si_snr(ref, est)
+    return -si_snr(ref, est, lengths)

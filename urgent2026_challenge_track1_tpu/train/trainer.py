@@ -187,28 +187,33 @@ def _zero_nonfinite(grads):
 
 
 def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int):
-    """Returns jitted (params, opt_state, ema, key, clean, noisy) -> updated + metrics."""
+    """Returns jitted (params, opt_state, ema, key, clean, noisy, lengths)
+    -> updated + metrics.  All loss/metric statistics are length-masked so
+    the static bucket padding never leaks into the numerics (reference
+    computes on exact batch-max-length signals, d_model.py:61-89)."""
     ema_decay = cfg.ema_decay
 
-    def loss_and_metrics(params, key, clean, noisy):
+    def loss_and_metrics(params, key, clean, noisy, lengths):
         if bundle.kind == "flowse":
-            loss = flow_mod.flowse_loss(params, bundle.model_cfg, key, clean, noisy, fs)
+            loss = flow_mod.flowse_loss(
+                params, bundle.model_cfg, key, clean, noisy, fs, lengths=lengths
+            )
             return loss, {}
         wav, _ = bsrnn_mod.bsrnn_se_apply(
-            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs
+            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs, lengths=lengths
         )
-        loss = losses.multi_res_l1_spec_loss(clean, wav).mean()
+        loss = losses.multi_res_l1_spec_loss(clean, wav, lengths).mean()
         # NaN-loss skip (d_model.py:75-77): zero the loss contribution
         loss = jnp.where(jnp.isfinite(loss), loss, wav.mean() * 0.0)
-        sisnr = jax.lax.stop_gradient(losses.si_snr(clean, wav).mean())
+        sisnr = jax.lax.stop_gradient(losses.si_snr(clean, wav, lengths).mean())
         return loss, {"sisnr": sisnr}
 
     # donate params/opt/ema buffers: the update happens in place on device,
     # halving peak parameter memory
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, opt_state, ema_params, key, clean, noisy):
+    def step(params, opt_state, ema_params, key, clean, noisy, lengths):
         (loss, extra), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
-            params, key, clean, noisy
+            params, key, clean, noisy, lengths
         )
         gnorm = _weighted_grad_norm(grads)
         grads, bad = _zero_nonfinite(grads)
@@ -226,15 +231,17 @@ def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int):
 
 def make_val_step(bundle: ModelBundle, cfg: Config, fs: int):
     @jax.jit
-    def step(params, key, clean, noisy):
+    def step(params, key, clean, noisy, lengths):
         if bundle.kind == "flowse":
-            loss = flow_mod.flowse_loss(params, bundle.model_cfg, key, clean, noisy, fs)
+            loss = flow_mod.flowse_loss(
+                params, bundle.model_cfg, key, clean, noisy, fs, lengths=lengths
+            )
             return {"loss": loss}
         wav, _ = bsrnn_mod.bsrnn_se_apply(
-            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs
+            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs, lengths=lengths
         )
-        loss = losses.multi_res_l1_spec_loss(clean, wav).mean()
-        sisnr = losses.si_snr(clean, wav).mean()
+        loss = losses.multi_res_l1_spec_loss(clean, wav, lengths).mean()
+        sisnr = losses.si_snr(clean, wav, lengths).mean()
         return {"loss": loss, "sisnr": sisnr}
 
     return step
@@ -457,10 +464,13 @@ class Trainer:
     def validate(self, state: TrainState) -> dict:
         params = state.ema_params if state.ema_params is not None else state.params
         totals, count = {}, 0
+        # per-fs accumulators: the reference logs {stage}_sisnr_{fs} for val
+        # too (d_model.py:82-87) so per-rate regressions stay visible
+        fs_totals, fs_counts = {}, {}
         key = jax.random.PRNGKey(0)
         for clean, noisy, fs, lengths in self.dm.val_dataloader():
             step_fn = self._get_val_step(fs)
-            batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
+            batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0], lengths))
             key, sub = jax.random.split(key)
             m = step_fn(params, sub, *batch)
             if count == 0 and self.bundle.kind == "flowse":
@@ -468,18 +478,24 @@ class Trainer:
                 # the N=10 Euler sampler and logs its SI-SNR
                 key, sub2 = jax.random.split(key)
                 enhanced = flow_mod.flowse_enhance(
-                    params, self.bundle.model_cfg, sub2, batch[1], fs, N=10
+                    params, self.bundle.model_cfg, sub2, batch[1], fs, N=10,
+                    lengths=batch[2],
                 )
                 m = dict(m)
-                m["sisnr"] = losses.si_snr(batch[0], enhanced).mean()
+                m["sisnr"] = losses.si_snr(batch[0], enhanced, batch[2]).mean()
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
+            if "sisnr" in m:
+                fs_totals[fs] = fs_totals.get(fs, 0.0) + float(m["sisnr"])
+                fs_counts[fs] = fs_counts.get(fs, 0) + 1
             count += 1
         if count == 0:
             return {"val_loss": float("inf")}
         out = {f"val_{k}": v / count for k, v in totals.items()}
         if "val_sisnr" in out and self.bundle.kind == "flowse":
             out["val_sisnr"] = totals["sisnr"]  # batch-0 value, not a mean
+        for fs, tot in fs_totals.items():
+            out[f"val_sisnr_{fs}"] = tot / fs_counts[fs]
         return out
 
     def fit(self, state: Optional[TrainState] = None) -> TrainState:
@@ -526,9 +542,10 @@ class Trainer:
                     profiling = False
                 step_fn = self._get_train_step(fs)
                 if target_dev is not None:
-                    batch = (target_dev, noisy_dev)
+                    lengths_dev = shard_batch(self.mesh, np.asarray(lengths, np.int32))
+                    batch = (target_dev, noisy_dev, lengths_dev)
                 else:
-                    batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0]))
+                    batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0], lengths))
                 sub = jax.random.fold_in(base_key, state.step)
                 state.params, state.opt_state, state.ema_params, metrics = step_fn(
                     state.params, state.opt_state, state.ema_params, sub, *batch
