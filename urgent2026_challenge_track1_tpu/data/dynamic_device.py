@@ -115,13 +115,19 @@ class DynamicMixingSourceDataset(DynamicMixingDataset):
             "clip_lo": 0.0, "clip_hi": 1.0, "bw_fs_new": speech_fs,
             "lost_packets": [],
         }
+        # per-item op order (0=bandwidth, 1=clipping, 2=packet loss): the
+        # augmentation string lists the ops in the SAMPLED chain order the
+        # host renderer would apply (simulate_data_from_param.py:529-570)
+        order = []
         for a in info["augmentation"].split("/"):
             if a.startswith("bandwidth_limitation"):
                 m = re.fullmatch(r"bandwidth_limitation-(.*)->(\d+)", a)
                 params["bw_fs_new"] = int(m.group(2))
+                order.append(0)
             elif a.startswith("clipping"):
                 m = re.fullmatch(r"clipping\(min=(.*),max=(.*)\)", a)
                 params["clip_lo"], params["clip_hi"] = float(m.group(1)), float(m.group(2))
+                order.append(1)
             elif a.startswith("packet_loss"):
                 m = re.fullmatch(
                     r"packet_loss\(packet_loss_indices=(.*),packet_duration_ms=(.*)\)", a
@@ -129,6 +135,9 @@ class DynamicMixingSourceDataset(DynamicMixingDataset):
                 import ast
 
                 params["lost_packets"] = ast.literal_eval(m.group(1))
+                order.append(2)
+        # absent ops have identity parameters; append them in canonical order
+        params["aug_order"] = order + [i for i in (0, 1, 2) if i not in order]
         return {
             "prerendered": False, "speech": speech, "noise": noise, "rir": rir,
             "fs": speech_fs, "length": T, **params,
@@ -160,6 +169,7 @@ def collate_device_render(items, pad_quantum_ms: int = 1000) -> DeviceRenderBatc
         clip_hi=np.ones(B, np.float32),
         packet_mask=np.ones((B, max(n_packets, 1)), np.float32),
         bw_mask=np.ones((B, n_bins), np.float32),
+        aug_order=np.tile(np.arange(3, dtype=np.int32), (B, 1)),
         prerendered_mask=np.zeros(B, np.float32),
         clean_pre=np.zeros((B, T), np.float32),
         noisy_pre=np.zeros((B, T), np.float32),
@@ -183,6 +193,7 @@ def collate_device_render(items, pad_quantum_ms: int = 1000) -> DeviceRenderBatc
         out["use_rir"][j] = it["use_rir"]
         out["clip_lo"][j] = it["clip_lo"]
         out["clip_hi"][j] = it["clip_hi"]
+        out["aug_order"][j] = it["aug_order"]
         for p in it["lost_packets"]:
             if p < out["packet_mask"].shape[1]:
                 out["packet_mask"][j, p] = 0.0
@@ -205,11 +216,12 @@ def _get_render_jit():
 
         @functools.partial(jax.jit, static_argnames=("fs", "highpass"))
         def _render(speech, noise, rir, snr_db, use_rir, clip_lo, clip_hi,
-                    packet_mask, bw_mask, pre_mask, clean_pre, noisy_pre,
-                    lengths, fs, highpass):
+                    packet_mask, bw_mask, aug_order, pre_mask, clean_pre,
+                    noisy_pre, lengths, fs, highpass):
             target, noisy = render_batch(
                 speech, noise, rir, snr_db, use_rir, clip_lo, clip_hi,
                 packet_mask, bw_mask, fs=fs, highpass=highpass, lengths=lengths,
+                aug_order=aug_order,
             )
             m = pre_mask[:, None]
             return (
@@ -232,8 +244,8 @@ def render_on_device(batch: DeviceRenderBatch, highpass: bool = True, mesh=None)
 
     keys = [
         "speech", "noise", "rir", "snr_db", "use_rir", "clip_lo", "clip_hi",
-        "packet_mask", "bw_mask", "prerendered_mask", "clean_pre", "noisy_pre",
-        "lengths",
+        "packet_mask", "bw_mask", "aug_order", "prerendered_mask", "clean_pre",
+        "noisy_pre", "lengths",
     ]
     arrays = [batch[k] for k in keys]
     if mesh is not None:

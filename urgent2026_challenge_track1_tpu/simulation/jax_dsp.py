@@ -13,11 +13,8 @@ Deviations from the host renderer (simulation/dsp.py), documented:
     version skips the decimation grid so there are no aliasing images);
   * quantile clipping uses jnp.quantile (linear interpolation, same as
     numpy default);
-  * augmentations apply in a FIXED order (bandwidth -> clipping -> packet
-    loss) inside the single jitted program, whereas the host renderer
-    applies the sampled chain order (affects the ~35% of items with 2+
-    augmentations; per-item op ordering is not jittable without a
-    permutation switch);
+  * augmentations apply in each item's SAMPLED chain order (host renderer
+    semantics) via a per-item 3-step op select — see render_batch;
   * the wind-noise sidechain compressor and the codec round-trip stay on
     host (sequential C++ kernel / libavcodec; such items arrive
     prerendered).
@@ -226,12 +223,22 @@ def render_batch(
     fs: int,
     highpass: bool = True,
     lengths=None,            # (B,) true item lengths (for masked quantiles)
+    aug_order=None,          # (B, 3) per-item op order: 0=bw, 1=clip, 2=pl
 ):
     """One jitted program augmenting a whole (fs, T) bucket on device.
 
     Returns (clean_target, noisy) with joint 0.9 peak normalization
     (renderer :575-589).  Frequency-domain bandwidth masks allow per-item
     target rates in one batch.
+
+    ``aug_order`` applies the three augmentations in each item's SAMPLED
+    chain order (the host renderer's semantics,
+    simulate_data_from_param.py:529-570): at each of 3 steps all three ops
+    are evaluated batched and a per-item gather keeps the one that step
+    selects — 9 cheap op evaluations instead of a 6-branch switch.  Ops
+    absent from an item's recipe have identity parameters, so any
+    permutation containing them is harmless.  ``None`` keeps the canonical
+    bandwidth -> clipping -> packet-loss order.
     """
     if highpass:
         speech = high_pass(speech, fs)
@@ -242,12 +249,26 @@ def render_batch(
     noisy = u * full + (1 - u) * speech
     target = u * early + (1 - u) * speech
     noisy, scaled_noise = mix_at_snr(noisy, noise, snr_db, lengths=lengths)
-    # bandwidth limitation via per-item rfft masks
     T = speech.shape[-1]
-    spec = jnp.fft.rfft(noisy, T)
-    noisy = jnp.fft.irfft(spec * bw_mask, T)
-    noisy = quantile_clip(noisy, clip_lo, clip_hi, lengths=lengths)
-    noisy = apply_packet_loss(noisy, packet_mask)
+    B = speech.shape[0]
+
+    def op_bw(x):
+        # bandwidth limitation via per-item rfft masks
+        return jnp.fft.irfft(jnp.fft.rfft(x, T) * bw_mask, T)
+
+    def op_clip(x):
+        return quantile_clip(x, clip_lo, clip_hi, lengths=lengths)
+
+    def op_pl(x):
+        return apply_packet_loss(x, packet_mask)
+
+    if aug_order is None:
+        noisy = op_pl(op_clip(op_bw(noisy)))
+    else:
+        rows = jnp.arange(B)
+        for k in range(3):
+            cands = jnp.stack([op_bw(noisy), op_clip(noisy), op_pl(noisy)])
+            noisy = cands[aug_order[:, k], rows]
     peak = jnp.maximum(
         jnp.max(jnp.abs(noisy), -1),
         jnp.maximum(jnp.max(jnp.abs(target), -1), jnp.max(jnp.abs(scaled_noise), -1)),
