@@ -44,7 +44,9 @@ int pick_sample_rate(const AVCodec* codec, int want) {
     int best = 0;
     for (const int* r = codec->supported_samplerates; *r; ++r) {
         if (*r == want) return want;
-        // nearest rate >= want if one exists, else the largest available
+        // first pass: nearest by absolute distance; second pass below then
+        // prefers the smallest rate >= want when one exists (so we only
+        // ever downsample if no codec rate reaches `want`)
         if (best == 0 || (std::abs(*r - want) < std::abs(best - want))) best = *r;
     }
     for (const int* r = codec->supported_samplerates; *r; ++r)

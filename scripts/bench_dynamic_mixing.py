@@ -99,6 +99,8 @@ def main():
                 continue
             n_utt += clean.shape[0]
             n_samples += int(lengths.sum())
+        if t0 is None or n_utt == 0:
+            sys.exit("need >= 2 batches: the first is consumed as pool warmup")
         dt = time.perf_counter() - t0
         print(
             f"{n_utt} utts in {dt:.2f}s: {n_utt/dt:.1f} utt/s, "

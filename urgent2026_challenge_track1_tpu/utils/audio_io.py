@@ -91,46 +91,66 @@ def _is_compressed_magic(head: bytes) -> bool:
     return len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
 
 
-# single-entry decode cache: info()-then-read() on the same compressed file
-# is the common pattern (meta table, batch packing) and exact lengths need a
-# full decode — this avoids decoding every mp3/ogg twice
-_COMPRESSED_CACHE: dict = {}
+# small LRU decode cache: info()-then-read() on the same compressed file is
+# the common pattern (meta table, batch packing) and exact lengths need a
+# full decode — this avoids decoding every mp3/ogg twice.  A few entries
+# (not one) so threaded loaders interleaving info()/read() over different
+# files still hit; bounded so float64 PCM does not accumulate.
+_COMPRESSED_CACHE: "dict" = {}
+_COMPRESSED_CACHE_MAX = 8
 
 
 def _decode_compressed(path: str):
-    from urgent2026_challenge_track1_tpu.utils import codec_av
-
     st = os.stat(path)
     key = (str(path), st.st_mtime_ns, st.st_size)
-    hit = _COMPRESSED_CACHE.get("entry")
-    if hit is not None and hit[0] == key:
-        return hit[1]
+    hit = _COMPRESSED_CACHE.pop(key, None)
+    if hit is not None:
+        _COMPRESSED_CACHE[key] = hit  # re-insert: LRU order = dict order
+        return hit
+    from urgent2026_challenge_track1_tpu.utils import codec_av
+
     out = codec_av.decode_file(path)
-    _COMPRESSED_CACHE["entry"] = (key, out)
+    _COMPRESSED_CACHE[key] = out
+    while len(_COMPRESSED_CACHE) > _COMPRESSED_CACHE_MAX:
+        _COMPRESSED_CACHE.pop(next(iter(_COMPRESSED_CACHE)))
     return out
+
+
+def _sf_decode_errors():
+    """soundfile's decode-failure types (NOT programming errors like
+    TypeError, which should propagate)."""
+    err = getattr(_sf, "LibsndfileError", None)
+    return (RuntimeError, err) if err is not None else (RuntimeError,)
 
 
 def read(path: str, dtype: str = "float64"):
     """(data, fs); data (T,) or (T, C) like soundfile.read."""
+    sf_exc = None
     if _sf is not None:
         try:
             return _sf.read(path, dtype=dtype)
-        except Exception:
+        except _sf_decode_errors() as e:
             # libsndfile without lame/vorbis support — fall through to the
-            # libavcodec shim for compressed formats
-            pass
-    with open(path, "rb") as f:
-        buf = f.read()
-    if buf[:4] == b"fLaC":
-        from urgent2026_challenge_track1_tpu.utils import flac
+            # libavcodec shim for compressed formats; keep the original
+            # error to chain if the fallback also fails
+            sf_exc = e
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+        if buf[:4] == b"fLaC":
+            from urgent2026_challenge_track1_tpu.utils import flac
 
-        data, fs = flac.decode(buf)
-    elif _is_compressed_magic(buf[:4]):
-        # mp3/ogg corpora (CommonVoice, DNS5) — reference reads these via
-        # libsndfile/librosa (simulate_data_from_param.py:347-361)
-        data, fs = _decode_compressed(path)
-    else:
-        data, fs = _decode(buf)
+            data, fs = flac.decode(buf)
+        elif _is_compressed_magic(buf[:4]):
+            # mp3/ogg corpora (CommonVoice, DNS5) — reference reads these via
+            # libsndfile/librosa (simulate_data_from_param.py:347-361)
+            data, fs = _decode_compressed(path)
+        else:
+            data, fs = _decode(buf)
+    except Exception as e:
+        if sf_exc is not None:
+            raise e from sf_exc
+        raise
     return data.astype(dtype), fs
 
 
@@ -144,25 +164,31 @@ def info(path: str) -> tuple[int, int]:
     mp3/ogg (container headers only bound the duration — callers such as the
     simulation meta table and inference batch packing need the exact length,
     and VBR streams without a Xing header can be off by whole frames)."""
+    sf_exc = None
     if _sf is not None:
         try:
             with _sf.SoundFile(path) as af:
                 return af.frames, af.samplerate
-        except Exception:
+        except _sf_decode_errors() as e:
             # libsndfile without mp3/vorbis support — use the codec shim,
             # keeping info() consistent with read()
-            pass
-    with open(path, "rb") as f:
-        buf = f.read(4096)
-        if buf[:4] == b"fLaC":
-            from urgent2026_challenge_track1_tpu.utils import flac
+            sf_exc = e
+    try:
+        with open(path, "rb") as f:
+            buf = f.read(4096)
+            if buf[:4] == b"fLaC":
+                from urgent2026_challenge_track1_tpu.utils import flac
 
-            total, fs, _, _ = flac.probe(buf)
-            return total, fs
-        if _is_compressed_magic(buf[:4]):
-            data, fs = _decode_compressed(path)
-            return data.shape[0], fs
-        return _parse_chunks_headeronly(buf, f)
+                total, fs, _, _ = flac.probe(buf)
+                return total, fs
+            if _is_compressed_magic(buf[:4]):
+                data, fs = _decode_compressed(path)
+                return data.shape[0], fs
+            return _parse_chunks_headeronly(buf, f)
+    except Exception as e:
+        if sf_exc is not None:
+            raise e from sf_exc
+        raise
 
 
 def _parse_chunks_headeronly(buf: bytes, f) -> tuple[int, int]:
