@@ -1,0 +1,189 @@
+#!/bin/env python
+"""Multi-fs convergence soak on the real TPU (VERDICT r2 item 2).
+
+Runs the REAL ``train_se.py`` CLI in the real GroupedBatchSampler regime —
+three sampling rates mixed in one run (one compiled program per (fs, T)
+bucket, fs-grouped batches interleaved by the epoch-seeded sampler) — for
+``target_steps`` steps, restart-bounded: the axon TPU tunnel leaks host RSS
+per dispatch (see CLAUDE.md), so the trainer subprocess is restarted every
+``--restart-seconds`` and auto-resumes from the latest orbax checkpoint
+(mid-epoch fast-forward included).  Per-fs validation SI-SNR
+(``val_sisnr_{fs}``, reference d_model.py:82-87) is printed as a curve at
+the end.
+
+Usage:
+  python scripts/train_multifs_soak.py [--steps 20000] [--workdir DIR]
+      [--restart-seconds 1200] [--report-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from urgent2026_challenge_track1_tpu.utils import audio_io  # noqa: E402
+
+SAMPLE_RATES = (8000, 16000, 48000)
+SECONDS = 2
+N_TRAIN_PER_FS = 120
+N_VAL_PER_FS = 4
+
+
+def speechlike(rng, fs, seconds, f0):
+    t = np.arange(int(fs * seconds)) / fs
+    f0_t = f0 * (1.0 + 0.08 * np.sin(2 * np.pi * 2.1 * t))
+    phase = 2 * np.pi * np.cumsum(f0_t) / fs
+    x = sum(np.sin(k * phase) / k for k in range(1, 6))
+    env = np.clip(np.sin(2 * np.pi * 1.9 * t) ** 2 + 0.05, 0, None)
+    x = env * x + 0.01 * rng.standard_normal(t.size)
+    return (0.3 * x / np.abs(x).max()).astype(np.float32)
+
+
+def colored_noise(rng, n, pole):
+    x = rng.standard_normal(n)
+    for k in range(1, n):
+        x[k] += pole * x[k - 1]
+    return (x / np.abs(x).max()).astype(np.float32)
+
+
+def build_pool(root: Path):
+    """Pre-simulated paired pools across three sampling rates."""
+    done_marker = root / ".pool_done"
+    if done_marker.exists():
+        return
+    for split, n in (("train", N_TRAIN_PER_FS), ("validation", N_VAL_PER_FS)):
+        d = root / split
+        d.mkdir(parents=True, exist_ok=True)
+        scps = {k: open(d / k, "w")
+                for k in ("spk1.scp", "wav.scp", "utt2fs", "speech_length.scp")}
+        for fs in SAMPLE_RATES:
+            rng = np.random.default_rng(fs + (0 if split == "train" else 777))
+            for i in range(n):
+                uid = f"{split[:2]}_{fs}_{i}"
+                clean = speechlike(rng, fs, SECONDS, 100 + 9 * (i % 25))
+                snr_db = rng.uniform(0.0, 15.0)
+                noise = colored_noise(rng, clean.size, 0.5 + 0.3 * rng.random())
+                act = np.std(clean[np.abs(clean) > 0.01])
+                noisy = clean + act * 10 ** (-snr_db / 20) * noise
+                cp, np_ = d / f"{uid}_c.wav", d / f"{uid}_n.wav"
+                audio_io.write(str(cp), clean, fs)
+                audio_io.write(str(np_), noisy.astype(np.float32), fs)
+                print(uid, cp.resolve(), file=scps["spk1.scp"])
+                print(uid, np_.resolve(), file=scps["wav.scp"])
+                print(uid, fs, file=scps["utt2fs"])
+                print(uid, clean.size, file=scps["speech_length.scp"])
+        for f in scps.values():
+            f.close()
+    done_marker.write_text("ok")
+
+
+def latest_step(exp_dir: Path) -> int:
+    best = 0
+    for jsonl in exp_dir.glob("*/version_0/metrics.jsonl"):
+        for line in jsonl.read_text().splitlines():
+            try:
+                best = max(best, json.loads(line).get("step", 0))
+            except json.JSONDecodeError:
+                pass
+    return best
+
+
+def report(exp_dir: Path):
+    curves = {}
+    losses = []
+    for jsonl in sorted(exp_dir.glob("*/version_0/metrics.jsonl")):
+        for line in jsonl.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            for k, v in rec.items():
+                if k.startswith("val_sisnr_"):
+                    curves.setdefault(k, []).append((rec["step"], v))
+            if "train_loss" in rec:
+                losses.append((rec["step"], rec["train_loss"]))
+    if losses:
+        print(f"train_loss: {losses[0][1]:.4f} (step {losses[0][0]}) -> "
+              f"{losses[-1][1]:.4f} (step {losses[-1][0]})")
+    for k in sorted(curves):
+        pts = curves[k]
+        shown = pts if len(pts) <= 10 else pts[:3] + pts[-7:]
+        print(k + ":", " ".join(f"{s}:{v:.2f}" for s, v in shown))
+    nan_free = all(np.isfinite(v) for pts in curves.values() for _, v in pts)
+    print("NaN-free:", nan_free)
+    return curves
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--workdir", type=str, default="/tmp/multifs_soak")
+    ap.add_argument("--restart-seconds", type=int, default=1200)
+    ap.add_argument("--report-only", action="store_true")
+    args = ap.parse_args()
+
+    work = Path(args.workdir)
+    exp_dir = work / "exp" / "soak_multifs"
+    if args.report_only:
+        report(exp_dir)
+        return
+    build_pool(work)
+
+    import yaml
+
+    base = yaml.safe_load((REPO / "conf/models/BSRNN_baseline.yaml").read_text())
+    base.update(
+        train_set_path=str(work / "train"),
+        valid_set_path=str(work / "validation"),
+        train_set_dynamic_mixing=False,
+        batch_size=4,
+        num_train_epochs=100000,   # bounded by --steps below, not epochs
+        val_check_interval=500,
+        max_duration=96000,        # no cropping: pool clips are 2 s
+        num_worker=2,
+        compute_dtype="bfloat16",
+        log_every_steps=50,
+        save_top_k=2,
+    )
+    cfg_path = work / "soak_multifs.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+
+    t0 = time.time()
+    restart = 0
+    while True:
+        step = latest_step(exp_dir)
+        if step >= args.steps:
+            break
+        restart += 1
+        print(f"[soak] restart {restart}: step {step}/{args.steps}, "
+              f"{time.time() - t0:.0f}s elapsed", flush=True)
+        # bounded subprocess: auto-resume picks up the newest checkpoint
+        r = subprocess.run(
+            ["timeout", str(args.restart_seconds), sys.executable,
+             str(REPO / "train_se.py"), "--config_file", str(cfg_path)],
+            cwd=str(work),
+            env={**os.environ, "JAX_CACHE_DIR": str(work / "jax_cache")},
+        )
+        if r.returncode not in (0, 124):  # 124 = timeout(1) expiry
+            print(f"[soak] trainer exited rc={r.returncode}; stopping")
+            break
+        if latest_step(exp_dir) <= step and r.returncode == 0:
+            print("[soak] no progress and clean exit (epochs done?); stopping")
+            break
+    print(f"[soak] done at step {latest_step(exp_dir)} after {restart} restarts, "
+          f"{time.time() - t0:.0f}s")
+    report(exp_dir)
+
+
+if __name__ == "__main__":
+    main()
