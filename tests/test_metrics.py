@@ -118,6 +118,68 @@ def test_pesq_golden_regression(speech_like):
         assert pesq_metric(ref, deg, f) == pytest.approx(expect, abs=5e-3)
 
 
+def test_pesq_cross_condition_goldens():
+    """Frozen cross-condition self-goldens (scripts/calibrate_pesq.py
+    --goldens): a spread of the challenge's degradation families at nb AND
+    wb must reproduce exactly — pins the calibrated scales' behavior on
+    band-limited/clipped/packet-lossy/reverberant material, not just AWGN
+    (VERDICT r2 item 3).  A subset is recomputed to bound test runtime."""
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    import calibrate_pesq as C
+
+    data = json.loads(
+        (Path(__file__).parent / "data" / "pesq_goldens.json").read_text()
+    )
+    assert len(data["goldens"]) >= 8
+    fns = {name: fn for name, fn, _ in C.MATRIX}
+    args = {label: fargs for _, _, ladder in C.MATRIX for label, fargs in ladder}
+    recheck = {"awgn": "snr20", "bandwidth": "bw2000", "clipping": "clip2-96",
+               "packet_loss": "pl10", "reverb": "t60_0.5"}
+    n = 0
+    for g in data["goldens"]:
+        if recheck.get(g["family"]) != g["label"]:
+            continue
+        x = C.speech_like(g["fs"] * 4, g["fs"], seed=1)
+        y = fns[g["family"]](x, g["fs"], *args[g["label"]])
+        got = pesq_metric(x, y, g["fs"])
+        assert got == pytest.approx(g["mos"], abs=5e-3), (g, got)
+        n += 1
+    assert n == 10  # 5 families x 2 bands
+
+
+def test_pesq_consumes_injected_tables():
+    """metrics/pesq.py reads every band table through pesq_tables.get_mode
+    at call time, so the exact ITU tables drop in cleanly by replacing that
+    module's values (the reconstructed tables are documented stand-ins).
+    Also pins the ITU band counts (P.862: 42 Bark bands nb, 49 wb)."""
+    import dataclasses
+
+    import urgent2026_challenge_track1_tpu.metrics.pesq as P
+    from urgent2026_challenge_track1_tpu.metrics import pesq_tables
+
+    nb, wb = pesq_tables.get_mode("nb"), pesq_tables.get_mode("wb")
+    assert nb.Nb == 42 and wb.Nb == 49
+    assert int(nb.nr_of_hz_bands.sum()) == nb.Nf // 2
+    assert int(wb.nr_of_hz_bands.sum()) == wb.Nf // 2
+
+    rng = np.random.default_rng(3)
+    x = 0.1 * rng.standard_normal(8000 * 2)
+    y = x + 0.02 * rng.standard_normal(x.size)
+    base = pesq_metric(x, y, 8000)
+    orig = P.get_mode
+    try:
+        P.get_mode = lambda name: dataclasses.replace(
+            orig(name), abs_thresh_power=orig(name).abs_thresh_power * 4.0
+        )
+        injected = pesq_metric(x, y, 8000)
+    finally:
+        P.get_mode = orig
+    assert injected != pytest.approx(base, abs=1e-4)
+    assert pesq_metric(x, y, 8000) == pytest.approx(base, abs=1e-9)
+
+
 def test_sdr(speech_like):
     x, fs = speech_like
     assert sdr_metric(x, x) == 50.0  # clamped
