@@ -166,3 +166,19 @@ def test_use_pallas_lstm_typo_fails_fast(toy_dirs, tmp_path):
     cfg = _cfg(toy_dirs, tmp_path, use_pallas_lstm="ture")
     with pytest.raises(ValueError, match="use_pallas_lstm"):
         trainer_mod.build_model(cfg)
+
+
+def test_validate_logs_per_fs_sisnr(toy_dirs, tmp_path, monkeypatch):
+    """Reference d_model.py:82-87 logs {stage}_sisnr_{fs} for validation too
+    (VERDICT r2 item 2): per-rate regression must stay visible."""
+    monkeypatch.chdir(tmp_path)
+    from urgent2026_challenge_track1_tpu.data import AudioDataModule
+    from urgent2026_challenge_track1_tpu.train.trainer import Trainer
+
+    cfg = _cfg(toy_dirs, tmp_path)
+    trainer = Trainer(cfg, AudioDataModule(cfg))
+    state = trainer.init_state()
+    vm = trainer.validate(state)
+    assert "val_sisnr" in vm
+    assert "val_sisnr_8000" in vm  # toy pool is all 8 kHz
+    assert np.isfinite(vm["val_sisnr_8000"])
