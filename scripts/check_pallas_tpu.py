@@ -56,6 +56,44 @@ def check(tag, B, T, I, H, dtype):
     return status == "OK "
 
 
+def check_masked(tag, B, T, I, H, dtype):
+    """Length-exact path (bilstm_masked w/ per-direction Pallas kernels) vs
+    the scan reference, forward and backward, on real Mosaic lowering."""
+    import zlib
+
+    key = jax.random.PRNGKey(zlib.crc32(tag.encode()) % 2**31)
+    params = lstm_ops.init_lstm(key, I, H, bidirectional=True)
+    atol_f, atol_g = (5e-2, 5e-2) if dtype == jnp.bfloat16 else (2e-4, 1e-3)
+    x = (0.3 * jax.random.normal(jax.random.PRNGKey(1), (B, T, I))).astype(dtype)
+    lengths = jax.random.randint(jax.random.PRNGKey(3), (B,), T // 2, T + 1)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (B, T, 2 * H)).astype(dtype)
+    # compare only at valid positions: the scan path computes garbage in the
+    # padding region that the masked-pallas path need not reproduce
+    vm = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[..., None]
+
+    ref = jax.jit(lambda p, x: lstm_ops.bilstm_masked(p, x, lengths))(params, x)
+    out = jax.jit(
+        lambda p, x: lstm_ops.bilstm_masked(p, x, lengths, use_pallas=True)
+    )(params, x)
+    fwd_err = float(
+        (jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)) * vm).max()
+    )
+
+    def loss(p, x_, use_pallas):
+        h = lstm_ops.bilstm_masked(p, x_, lengths, use_pallas=use_pallas)
+        return jnp.sum(h.astype(jnp.float32) * cot.astype(jnp.float32) * vm)
+
+    gr = jax.jit(jax.grad(lambda p, x_: loss(p, x_, False)))(params, x)
+    gp = jax.jit(jax.grad(lambda p, x_: loss(p, x_, True)))(params, x)
+    g_err = max(
+        float(jnp.abs(gp[k] - gr[k]).max() / (jnp.abs(gr[k]).max() + 1e-9)) for k in gr
+    )
+    status = "OK " if fwd_err < atol_f and g_err < atol_g else "FAIL"
+    print(f"{status} {tag}: fwd max|d|={fwd_err:.2e}  grad max rel|d|={g_err:.2e}",
+          flush=True)
+    return status == "OK "
+
+
 def main():
     ok = True
     # disc time/band geometries (196 ch), flow geometries (384 hidden)
@@ -64,6 +102,10 @@ def main():
     ok &= check("disc time bf16", 136, 201, 196, 392, jnp.bfloat16)
     ok &= check("flow time bf16", 48, 126, 384, 768, jnp.bfloat16)
     ok &= check("flow band bf16", 504, 48, 384, 768, jnp.bfloat16)
+    # length-exact (masked) time paths — the training default since round 3
+    ok &= check_masked("masked time f32 ", 136, 201, 196, 392, jnp.float32)
+    ok &= check_masked("masked time bf16", 136, 201, 196, 392, jnp.bfloat16)
+    ok &= check_masked("masked flow bf16", 48, 126, 384, 768, jnp.bfloat16)
     if not ok:
         raise SystemExit("TPU kernel parity check FAILED")
     print("all TPU kernel parity checks passed")

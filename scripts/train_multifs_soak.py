@@ -160,6 +160,7 @@ def main():
 
     t0 = time.time()
     restart = 0
+    stall = 0  # consecutive restarts with no step progress
     while True:
         step = latest_step(exp_dir)
         if step >= args.steps:
@@ -174,10 +175,18 @@ def main():
             cwd=str(work),
             env={**os.environ, "JAX_CACHE_DIR": str(work / "jax_cache")},
         )
+        progressed = latest_step(exp_dir) > step
+        stall = 0 if progressed else stall + 1
         if r.returncode not in (0, 124):  # 124 = timeout(1) expiry
-            print(f"[soak] trainer exited rc={r.returncode}; stopping")
-            break
-        if latest_step(exp_dir) <= step and r.returncode == 0:
+            # remote-TPU tunnel errors are often transient; retry until the
+            # run stalls repeatedly at the same step
+            print(f"[soak] trainer exited rc={r.returncode} "
+                  f"(stall {stall}/4); retrying", flush=True)
+            if stall >= 4:
+                print("[soak] no progress across 4 failed restarts; stopping")
+                break
+            continue
+        if not progressed and r.returncode == 0:
             print("[soak] no progress and clean exit (epochs done?); stopping")
             break
     print(f"[soak] done at step {latest_step(exp_dir)} after {restart} restarts, "
