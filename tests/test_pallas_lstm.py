@@ -92,3 +92,84 @@ def test_bilstm_pallas_matches_bilstm_with_padding():
     out = bilstm_pallas(params, x, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_streamin_training_forward_matches_hoisted():
+    """STREAM_INPUT_TRAIN=True (in-kernel input projection) must reproduce
+    the hoisted-projection training numerics exactly — forward AND custom
+    VJP (the backward rule is shared)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from urgent2026_challenge_track1_tpu.ops import lstm as lstm_ops
+    from urgent2026_challenge_track1_tpu.ops import pallas_lstm as pl_ops
+
+    B, T, I, H = 4, 9, 8, 16
+    params = lstm_ops.init_lstm(jax.random.PRNGKey(0), I, H, bidirectional=True)
+    x = jnp.asarray(
+        0.3 * np.random.default_rng(1).standard_normal((B, T, I)), jnp.float32
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(2).standard_normal((B, T, 2 * H)), jnp.float32
+    )
+
+    def loss(p, x_):
+        return jnp.sum(pl_ops.bilstm_pallas(p, x_, interpret=True) * cot)
+
+    ref_out = pl_ops.bilstm_pallas(params, x, interpret=True)
+    ref_grad = jax.grad(loss)(params, x)
+    assert not pl_ops.STREAM_INPUT_TRAIN
+    pl_ops.STREAM_INPUT_TRAIN = True
+    try:
+        out = pl_ops.bilstm_pallas(params, x, interpret=True)
+        grad = jax.grad(loss)(params, x)
+    finally:
+        pl_ops.STREAM_INPUT_TRAIN = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-6)
+    for k in ref_grad:
+        np.testing.assert_allclose(
+            np.asarray(grad[k]), np.asarray(ref_grad[k]), atol=2e-5, err_msg=k
+        )
+
+
+def test_streamin_masked_path_matches_scan():
+    """bilstm_masked with STREAM_INPUT_TRAIN + Pallas (interpret) ==
+    the scan masked reference, forward and grad."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from urgent2026_challenge_track1_tpu.ops import lstm as lstm_ops
+    from urgent2026_challenge_track1_tpu.ops import pallas_lstm as pl_ops
+
+    B, T, I, H = 3, 10, 8, 16
+    params = lstm_ops.init_lstm(jax.random.PRNGKey(5), I, H, bidirectional=True)
+    x = jnp.asarray(
+        0.3 * np.random.default_rng(6).standard_normal((B, T, I)), jnp.float32
+    )
+    lens = jnp.asarray([6, 10, 8], jnp.int32)
+    cot = jnp.asarray(
+        np.random.default_rng(7).standard_normal((B, T, 2 * H)), jnp.float32
+    )
+    vm = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)[..., None]
+
+    def loss(p, x_, pallas):
+        h = lstm_ops.bilstm_masked(p, x_, lens, use_pallas=pallas, interpret=True)
+        return jnp.sum(h * cot * vm)
+
+    ref = lstm_ops.bilstm_masked(params, x, lens)
+    gref = jax.grad(loss)(params, x, False)
+    pl_ops.STREAM_INPUT_TRAIN = True
+    try:
+        out = lstm_ops.bilstm_masked(params, x, lens, use_pallas=True, interpret=True)
+        got = jax.grad(loss)(params, x, True)
+    finally:
+        pl_ops.STREAM_INPUT_TRAIN = False
+    np.testing.assert_allclose(
+        np.asarray(out * vm), np.asarray(ref * vm), atol=2e-6
+    )
+    for k in gref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(gref[k]), atol=2e-5, err_msg=k
+        )

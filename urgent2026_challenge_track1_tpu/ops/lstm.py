@@ -141,6 +141,24 @@ def bilstm_masked(
     input layout, which per-row reversal breaks).
     """
     dtype = x.dtype
+    if use_pallas:
+        from urgent2026_challenge_track1_tpu.ops import pallas_lstm as pl
+
+        if pl.STREAM_INPUT_TRAIN:
+            # stream the RAW input into the kernels (and length-reverse the
+            # N-wide input instead of the 4H-wide projection)
+            x_rev = length_reverse(x, lengths)
+            fwd = pl.lstm_dir_streamin(
+                x, params["w_ih"], params["b_ih"] + params["b_hh"],
+                params["w_hh"], interpret,
+            )
+            bwd_r = pl.lstm_dir_streamin(
+                x_rev, params["w_ih_reverse"],
+                params["b_ih_reverse"] + params["b_hh_reverse"],
+                params["w_hh_reverse"], interpret,
+            )
+            bwd = length_reverse(bwd_r, lengths)
+            return jnp.concatenate([fwd, bwd], axis=-1)
     w_ih = jnp.concatenate([params["w_ih"], params["w_ih_reverse"]], axis=0)
     b = jnp.concatenate(
         [params["b_ih"] + params["b_hh"], params["b_ih_reverse"] + params["b_hh_reverse"]]
@@ -150,8 +168,6 @@ def bilstm_masked(
     hidden = fourH // 4
     proj_b_rev = length_reverse(proj[..., fourH:], lengths)
     if use_pallas:
-        from urgent2026_challenge_track1_tpu.ops import pallas_lstm as pl
-
         fwd = pl.lstm_dir_pallas(
             proj[..., :fourH], params["w_hh"].T.astype(dtype), interpret
         )

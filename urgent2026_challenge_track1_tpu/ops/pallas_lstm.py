@@ -280,8 +280,26 @@ def lstm_pallas_bidir_fusedin(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b,
     )
 
 
+# Experiment toggle (scripts/bench_streamin_ab.py): when True, the training
+# forward streams the raw input into the residual-storing kernels (in-kernel
+# x@W_ih, no materialized (B, T, 4H) projection); the backward is unchanged.
+STREAM_INPUT_TRAIN = False
+
+
 def _fusedin_fwd(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b, b_block, interpret):
     dtype = x.dtype
+    if STREAM_INPUT_TRAIN:
+        out_f, gates_f, c_f = _train_forward_streamin(
+            x, w_ih_f, b_f, w_hh_f, False, b_block, interpret
+        )
+        out_b, gates_b, c_b = _train_forward_streamin(
+            x, w_ih_b, b_b, w_hh_b, True, b_block, interpret
+        )
+        out = jnp.concatenate(
+            [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1
+        )
+        return out, (x, (out_f, gates_f, c_f, w_hh_f), (out_b, gates_b, c_b, w_hh_b),
+                     (w_ih_f, w_ih_b))
     proj_f = x @ w_ih_f.astype(dtype) + b_f.astype(dtype)
     proj_b = x @ w_ih_b.astype(dtype) + b_b.astype(dtype)
     out_f, gates_f, c_f = _train_forward(proj_f, w_hh_f, False, b_block, interpret)
@@ -404,6 +422,121 @@ def _train_bwd_kernel_blocked(gates_ref, cprev_ref, hprev_ref, dout_ref, w4h_ref
     _train_bwd_body(gates_ref, cprev_ref, hprev_ref, dout_ref, w4h_ref,
                     dxp_ref, dw_ref, dh_s, dc_s, first_t,
                     jnp.logical_and(pl.program_id(0) == 0, first_t))
+
+
+def _train_fwd_streamin_body(x_ref, wi_ref, b_ref, whh_ref, out_ref, gates_ref,
+                             c_ref, h_s, c_s, is_first):
+    """Training forward streaming the RAW input: the input projection runs
+    in-kernel (x@W_ih per step) instead of materializing (B, T, 4H) x_proj
+    in HBM — the input stream narrows from 4H to N floats per row (8x for
+    the disc geometry) while the residual stores stay identical."""
+    @pl.when(is_first)
+    def _():
+        h_s[:] = jnp.zeros_like(h_s)
+        c_s[:] = jnp.zeros_like(c_s)
+
+    gates = (
+        jnp.dot(x_ref[0], wi_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h_s[:].astype(x_ref.dtype), whh_ref[:],
+                  preferred_element_type=jnp.float32)
+        + b_ref[0].astype(jnp.float32)
+    )
+    H = h_s.shape[-1]
+    i_g = jax.nn.sigmoid(gates[:, :H])
+    f_g = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g_g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o_g = jax.nn.sigmoid(gates[:, 3 * H :])
+    c = f_g * c_s[:] + i_g * g_g
+    h = o_g * jnp.tanh(c)
+    c_s[:] = c
+    h_s[:] = h
+    out_ref[0] = h.astype(out_ref.dtype)
+    gates_ref[0] = jnp.concatenate([i_g, f_g, g_g, o_g], axis=-1).astype(gates_ref.dtype)
+    c_ref[0] = c.astype(c_ref.dtype)
+
+
+def _train_fwd_streamin_kernel(x_ref, wi_ref, b_ref, whh_ref, out_ref,
+                               gates_ref, c_ref, h_s, c_s):
+    _train_fwd_streamin_body(x_ref, wi_ref, b_ref, whh_ref, out_ref, gates_ref,
+                             c_ref, h_s, c_s, pl.program_id(0) == 0)
+
+
+def _train_fwd_streamin_kernel_blocked(x_ref, wi_ref, b_ref, whh_ref, out_ref,
+                                       gates_ref, c_ref, h_s, c_s):
+    _train_fwd_streamin_body(x_ref, wi_ref, b_ref, whh_ref, out_ref, gates_ref,
+                             c_ref, h_s, c_s, pl.program_id(1) == 0)
+
+
+def _train_forward_streamin(x, w_ih_t, b, w_hh_t, reverse, b_block, interpret):
+    """Like _train_forward but consuming raw x (B, T, N) + weights; returns
+    the same residual triple (out, gates, c), time-major."""
+    B, T, N = x.shape
+    fourH = w_ih_t.shape[1]
+    H = fourH // 4
+    dtype = x.dtype
+    xs = jnp.swapaxes(x, 0, 1)  # (T, B, N)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, B, H), dtype),
+        jax.ShapeDtypeStruct((T, B, fourH), dtype),
+        jax.ShapeDtypeStruct((T, B, H), dtype),
+    )
+    weights = (w_ih_t.astype(dtype), b.astype(dtype), w_hh_t.astype(dtype))
+    if b_block <= 0 or b_block >= B:
+        def idx(i):
+            return ((T - 1 - i) if reverse else i, 0, 0)
+
+        const = lambda i: (0, 0)
+        return pl.pallas_call(
+            _train_fwd_streamin_kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, N), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, fourH), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, fourH), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, fourH), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, fourH), idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((B, H), jnp.float32),
+                pltpu.VMEM((B, H), jnp.float32),
+            ],
+            interpret=interpret,
+            **_vmem_params(interpret),
+        )(xs, *weights)
+    assert B % b_block == 0, (B, b_block)
+    nb = B // b_block
+
+    def idx_b(bk, t):
+        return ((T - 1 - t) if reverse else t, bk, 0)
+
+    constb = lambda bk, t: (0, 0)
+    return pl.pallas_call(
+        _train_fwd_streamin_kernel_blocked,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, b_block, N), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, fourH), constb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fourH), constb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, fourH), constb, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_block, H), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_block, fourH), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_block, H), idx_b, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((b_block, H), jnp.float32),
+            pltpu.VMEM((b_block, H), jnp.float32),
+        ],
+        interpret=interpret,
+        **_vmem_params(interpret),
+    )(xs, *weights)
 
 
 def _train_forward(x_proj, w_hh_t, reverse, b_block, interpret):
@@ -619,6 +752,51 @@ def bilstm_pallas(params, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
 
 # kept as an alias: callers/tests that want to be explicit about trainability
 bilstm_pallas_train = bilstm_pallas
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lstm_dir_pallas_streamin(x, w_ih_t, b, w_hh_t, b_block=0, interpret=False):
+    """One forward-direction recurrence streaming the RAW input (in-kernel
+    x@W_ih; STREAM_INPUT_TRAIN experiment).  x (B, T, N), w_ih_t (N, 4H),
+    b (1, 4H), w_hh_t (H, 4H) -> (B, T, H).  Differentiable."""
+    out, _, _ = _train_forward_streamin(x, w_ih_t, b, w_hh_t, False, b_block,
+                                        interpret)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def _dir_streamin_fwd(x, w_ih_t, b, w_hh_t, b_block, interpret):
+    out, gates, c = _train_forward_streamin(x, w_ih_t, b, w_hh_t, False,
+                                            b_block, interpret)
+    return jnp.swapaxes(out, 0, 1), (x, out, gates, c, w_hh_t, w_ih_t)
+
+
+def _dir_streamin_bwd(b_block, interpret, res, g_out):
+    x, out, gates, c, w_hh_t, w_ih_t = res
+    dxp, dw_hh = _lstm_train_bwd(False, b_block, interpret,
+                                 (out, gates, c, w_hh_t), g_out)
+    dx = dxp @ w_ih_t.T.astype(dxp.dtype)
+    d_wih = jnp.einsum("btn,btg->ng", x, dxp).astype(w_ih_t.dtype)
+    db = jnp.sum(dxp, axis=(0, 1))[None].astype(w_ih_t.dtype)
+    return dx, d_wih, db, dw_hh
+
+
+lstm_dir_pallas_streamin.defvjp(_dir_streamin_fwd, _dir_streamin_bwd)
+
+
+def lstm_dir_streamin(x, w_ih, b_vec, w_hh, interpret: bool = False):
+    """Padding/blocking wrapper over lstm_dir_pallas_streamin.
+    x (B, T, N) raw input; w_ih (4H, N), b_vec (4H,), w_hh (4H, H) in the
+    torch parameter layout -> (B, T, H)."""
+    B = x.shape[0]
+    dtype = x.dtype
+    b_block, pad = _bilstm_blocking(B, dtype)
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    out = lstm_dir_pallas_streamin(
+        x, w_ih.T.astype(dtype), b_vec[None].astype(dtype),
+        w_hh.T.astype(dtype), b_block, interpret,
+    )
+    return out[:B] if pad else out
 
 
 def lstm_dir_pallas(
