@@ -33,6 +33,8 @@ def main():
     parser.add_argument("--layers", type=int, default=6)
     parser.add_argument("--compute_dtype", default="bfloat16")
     parser.add_argument("--cache_dir", default="/tmp/jax_cache")
+    parser.add_argument("--rates", type=str, default="",
+                        help="comma-separated fs subset (default: all 7)")
     args = parser.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", args.cache_dir)
@@ -60,22 +62,30 @@ def main():
     params_inf = M.init_bsrnn(jax.random.PRNGKey(0), mcfg)
     optimizer = make_optimizer(cfg)
 
+    from urgent2026_challenge_track1_tpu.parallel import make_mesh, replicated, shard_batch
+
+    # place inputs/params exactly like the trainer (dp mesh shardings are
+    # part of the lowered HLO; unsharded precompiles would miss the cache)
+    mesh = make_mesh(cfg.mesh_shape)
+    rep = replicated(mesh)
+    rates = ([int(r) for r in args.rates.split(",") if r]
+             or list(SAMPLE_RATES))
     rng = np.random.default_rng(0)
     # rethread donated (params, opt_state) across iterations like the
     # trainer does — reusing the originals after a donating call crashes
     # with 'Array has been deleted' on TPU (bench_train.py pattern)
-    p_train = params
-    o_train = optimizer.init(params)
+    p_train = jax.device_put(params, rep)
+    o_train = jax.device_put(optimizer.init(params), rep)
     ema = None
-    for fs in SAMPLE_RATES:
+    for fs in rates:
         T = fs * args.seconds
         x = (0.1 * rng.standard_normal((args.batch_size, T))).astype(np.float32)
         if args.mode in ("train", "both"):
             t0 = time.perf_counter()
             step = make_train_step(bundle, optimizer, cfg, fs)
+            batch = shard_batch(mesh, (x, x, np.full((args.batch_size,), T, np.int32)))
             p_train, o_train, ema, m = step(
-                p_train, o_train, ema, jax.random.PRNGKey(1), x, x,
-                np.full((args.batch_size,), T, np.int32),
+                p_train, o_train, ema, jax.random.PRNGKey(1), *batch
             )
             jax.block_until_ready(m["loss"])
             print(f"train fs={fs}: compiled in {time.perf_counter()-t0:.1f}s", flush=True)

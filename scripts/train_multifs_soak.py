@@ -148,11 +148,12 @@ def main():
         train_set_dynamic_mixing=False,
         batch_size=4,
         num_train_epochs=100000,   # bounded by --steps below, not epochs
-        val_check_interval=500,
+        # checkpoint often: remote-worker crashes must not erase progress
+        val_check_interval=200,
         max_duration=96000,        # no cropping: pool clips are 2 s
         num_worker=2,
         compute_dtype="bfloat16",
-        log_every_steps=50,
+        log_every_steps=1,
         save_top_k=2,
     )
     cfg_path = work / "soak_multifs.yaml"

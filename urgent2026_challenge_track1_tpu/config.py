@@ -77,6 +77,13 @@ class Config:
         self.compute_dtype = "float32"  # "float32" | "bfloat16" matmul inputs
         self.length_bucket_ms = 1000  # pad batches up to multiples of this
         self.log_every_steps = 50
+        # bound device run-ahead: sync on the step's loss every N steps.
+        # Async dispatch otherwise queues unboundedly ahead of the device;
+        # remote TPU workers (axon tunnel) crash under tens of queued
+        # full-train-step executions (measured in the round-3 multi-fs soak:
+        # log_every=50 crashed the worker repeatedly, per-step sync trained
+        # cleanly).  Costs one host round-trip per N steps.
+        self.runahead_sync_steps = 4
         self.profile_start_step = -1  # jax.profiler trace window (-1 = off)
         self.profile_num_steps = 5
         self.use_pallas_lstm = "auto"  # "auto" (TPU only) | "true" | "false":

@@ -552,6 +552,9 @@ class Trainer:
                 )
                 state.step += 1
                 state.batch_in_epoch += 1
+                if cfg.runahead_sync_steps and state.step % cfg.runahead_sync_steps == 0:
+                    # bound device run-ahead (see Config.runahead_sync_steps)
+                    jax.block_until_ready(metrics["loss"])
                 if state.step % cfg.log_every_steps == 0:
                     logd = {f"train_{k}": float(v) for k, v in metrics.items()}
                     logd["step_time"] = time.time() - t0
