@@ -146,7 +146,11 @@ def main():
         train_set_path=str(work / "train"),
         valid_set_path=str(work / "validation"),
         train_set_dynamic_mixing=False,
-        batch_size=4,
+        # B=2: with one compiled program per fs resident, the 48 kHz
+        # step's peak HBM at B=4 crashes the 16 GB worker (round-3
+        # finding; B=2 interleaves all three programs stably).  The
+        # reference notes ~14 GB at batch=2 for this model, too.
+        batch_size=2,
         num_train_epochs=100000,   # bounded by --steps below, not epochs
         # checkpoint often: remote-worker crashes must not erase progress
         val_check_interval=200,
