@@ -1,0 +1,143 @@
+#!/bin/env python
+"""Flow-matching soak on the real TPU: trains a flowse model far enough on a
+synthetic denoising pool that the sampler produces meaningful enhancements,
+powering the solver x NFE quality study (scripts/flow_nfe_study.py,
+VERDICT r2 item 6).
+
+Reuses the restart-bounded driver pattern of train_multifs_soak (the axon
+tunnel leaks host RSS; remote-worker crashes are retried) at fs=16000.
+
+Usage:
+  python scripts/train_flowse_soak.py [--steps 4000] [--workdir /tmp/flowse_soak]
+      [--hidden 192] [--layers 4] [--report-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from train_multifs_soak import (  # noqa: E402
+    colored_noise,
+    latest_step,
+    report,
+    speechlike,
+)
+
+from urgent2026_challenge_track1_tpu.utils import audio_io  # noqa: E402
+
+FS = 16000
+SECONDS = 2
+
+
+def build_pool(root: Path, n_train=160, n_val=6):
+    marker = root / ".pool_done"
+    if marker.exists():
+        return
+    for split, n in (("train", n_train), ("validation", n_val)):
+        d = root / split
+        d.mkdir(parents=True, exist_ok=True)
+        scps = {k: open(d / k, "w")
+                for k in ("spk1.scp", "wav.scp", "utt2fs", "speech_length.scp")}
+        rng = np.random.default_rng(42 if split == "train" else 77)
+        for i in range(n):
+            uid = f"{split[:2]}_{i}"
+            clean = speechlike(rng, FS, SECONDS, 95 + 11 * (i % 22))
+            snr_db = rng.uniform(2.0, 15.0)
+            noise = colored_noise(rng, clean.size, 0.5 + 0.3 * rng.random())
+            act = np.std(clean[np.abs(clean) > 0.01])
+            noisy = clean + act * 10 ** (-snr_db / 20) * noise
+            cp, np_ = d / f"{uid}_c.wav", d / f"{uid}_n.wav"
+            audio_io.write(str(cp), clean, FS)
+            audio_io.write(str(np_), noisy.astype(np.float32), FS)
+            print(uid, cp.resolve(), file=scps["spk1.scp"])
+            print(uid, np_.resolve(), file=scps["wav.scp"])
+            print(uid, FS, file=scps["utt2fs"])
+            print(uid, clean.size, file=scps["speech_length.scp"])
+        for f in scps.values():
+            f.close()
+    marker.write_text("ok")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--workdir", type=str, default="/tmp/flowse_soak")
+    ap.add_argument("--restart-seconds", type=int, default=1500)
+    ap.add_argument("--hidden", type=int, default=192)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--report-only", action="store_true")
+    args = ap.parse_args()
+
+    work = Path(args.workdir)
+    exp_dir = work / "exp" / "soak_flowse"
+    if args.report_only:
+        report(exp_dir)
+        return
+    build_pool(work)
+
+    import yaml
+
+    base = yaml.safe_load((REPO / "conf/models/BSRNN_flowse.yaml").read_text())
+    base.update(
+        train_set_path=str(work / "train"),
+        valid_set_path=str(work / "validation"),
+        batch_size=2,
+        num_train_epochs=100000,
+        val_check_interval=250,
+        max_duration=96000,
+        num_worker=2,
+        compute_dtype="bfloat16",
+        log_every_steps=10,
+        save_top_k=2,
+        bsrnn_hidden=args.hidden,
+        num_layer=args.layers,
+    )
+    cfg_path = work / "soak_flowse.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+
+    t0 = time.time()
+    restart = stall = 0
+    while True:
+        step = latest_step(exp_dir)
+        if step >= args.steps:
+            break
+        restart += 1
+        print(f"[flowse-soak] restart {restart}: step {step}/{args.steps}, "
+              f"{time.time() - t0:.0f}s elapsed", flush=True)
+        r = subprocess.run(
+            ["timeout", str(args.restart_seconds), sys.executable,
+             str(REPO / "train_se.py"), "--config_file", str(cfg_path)],
+            cwd=str(work),
+            env={**os.environ, "JAX_CACHE_DIR": str(work / "jax_cache")},
+        )
+        progressed = latest_step(exp_dir) > step
+        stall = 0 if progressed else stall + 1
+        if r.returncode not in (0, 124):
+            print(f"[flowse-soak] rc={r.returncode} (stall {stall}/4); retrying",
+                  flush=True)
+            if stall >= 4:
+                break
+            continue
+        if not progressed and r.returncode == 0:
+            break
+    print(f"[flowse-soak] done at step {latest_step(exp_dir)} "
+          f"({time.time() - t0:.0f}s)")
+    report(exp_dir)
+    ckpts = sorted(exp_dir.glob("*/version_0/checkpoints"))
+    if ckpts:
+        print("checkpoint dir:", ckpts[-1])
+
+
+if __name__ == "__main__":
+    main()
