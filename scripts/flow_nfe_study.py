@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--random", action="store_true")
     ap.add_argument("--device", type=str, default="tpu")
     ap.add_argument("--out", type=str, default="flow_nfe_study.json")
+    ap.add_argument("--grid", type=str, default="",
+                    help="comma list of grid Ns (default 4,8,15)")
     args = ap.parse_args()
     if args.device == "cpu":
         import jax
@@ -81,11 +83,12 @@ def main():
     from urgent2026_challenge_track1_tpu.metrics.stoi import stoi
     from urgent2026_challenge_track1_tpu.train.losses import si_snr
 
+    grid = [int(n) for n in args.grid.split(",") if n] or list(GRID_NS)
     clean, noisy = val_set()
     lengths = jnp.full((N_UTTS,), clean.shape[1], jnp.int32)
     rows = []
     for solver in SOLVERS:
-        for N in GRID_NS:
+        for N in grid:
             fn = jax.jit(lambda p, k, x, N=N, s=solver: FM.flowse_enhance(
                 p, cfg, k, x, FS, N=N, solver=s, lengths=lengths))
             out = fn(params, jax.random.PRNGKey(0), jnp.asarray(noisy))
