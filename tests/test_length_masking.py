@@ -93,10 +93,17 @@ def test_bilstm_masked_pallas_interpret_matches_scan():
     B, T, I, H = 2, 9, 8, 16
     params = lstm_ops.init_lstm(jax.random.PRNGKey(2), I, H, bidirectional=True)
     x = jnp.asarray(RNG.standard_normal((B, T, I)).astype(np.float32))
-    lens = jnp.asarray(np.array([6, 9], np.int32))
-    ref = lstm_ops.bilstm_masked(params, x, lens, use_pallas=False)
-    got = lstm_ops.bilstm_masked(params, x, lens, use_pallas=True, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    lens = np.array([6, 9], np.int32)
+    ref = lstm_ops.bilstm_masked(params, x, jnp.asarray(lens), use_pallas=False)
+    got = lstm_ops.bilstm_masked(
+        params, x, jnp.asarray(lens), use_pallas=True, interpret=True
+    )
+    # outputs at padded positions are unspecified (the reverse-masked kernel
+    # leaves different garbage there than the gather formulation)
+    for b, L in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(got[b, :L]), np.asarray(ref[b, :L]), rtol=1e-5, atol=1e-5
+        )
 
 
 def test_masked_istft_matches_exact_frames():

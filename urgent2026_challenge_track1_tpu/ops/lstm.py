@@ -131,7 +131,8 @@ def bilstm_masked(
 ) -> jnp.ndarray:
     """Length-exact bidirectional LSTM.  x: (B, T, I), lengths: (B,) valid
     step counts -> (B, T, 2H); outputs at positions < lengths[b] are
-    independent of T (the bucket padding).
+    independent of T (the bucket padding).  Outputs at positions >=
+    lengths[b] are UNSPECIFIED garbage — callers mask them downstream.
 
     Forward direction is already pad-exact (padding comes after the valid
     prefix); the backward direction runs as a FORWARD scan over the
@@ -166,18 +167,23 @@ def bilstm_masked(
     proj = x @ w_ih.T.astype(dtype) + b.astype(dtype)  # (B, T, 8H)
     fourH = params["w_ih"].shape[0]
     hidden = fourH // 4
-    proj_b_rev = length_reverse(proj[..., fourH:], lengths)
     if use_pallas:
+        # backward direction: reverse-walk kernel with in-kernel state
+        # masking at padded steps — no gathers, outputs already in place
+        # (the length_reverse formulation measured +28 ms/step at the
+        # 48 kHz training geometry from the gather/scatter pair)
         fwd = pl.lstm_dir_pallas(
             proj[..., :fourH], params["w_hh"].T.astype(dtype), interpret
         )
-        bwd_r = pl.lstm_dir_pallas(
-            proj_b_rev, params["w_hh_reverse"].T.astype(dtype), interpret
+        bwd = pl.lstm_dir_revmasked(
+            proj[..., fourH:], params["w_hh_reverse"].T.astype(dtype), lengths,
+            interpret,
         )
-    else:
-        fwd = _scan_dir(proj[..., :fourH], params["w_hh"].T.astype(dtype), hidden, False)
-        bwd_r = _scan_dir(
-            proj_b_rev, params["w_hh_reverse"].T.astype(dtype), hidden, False
-        )
+        return jnp.concatenate([fwd, bwd], axis=-1)
+    proj_b_rev = length_reverse(proj[..., fourH:], lengths)
+    fwd = _scan_dir(proj[..., :fourH], params["w_hh"].T.astype(dtype), hidden, False)
+    bwd_r = _scan_dir(
+        proj_b_rev, params["w_hh_reverse"].T.astype(dtype), hidden, False
+    )
     bwd = length_reverse(bwd_r, lengths)
     return jnp.concatenate([fwd, bwd], axis=-1)
