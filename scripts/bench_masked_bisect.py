@@ -82,6 +82,9 @@ def main():
         ("loss-masked ", False, True),
         ("masked      ", True, True),
     ]
+    if len(sys.argv) > 1:  # e.g. `bench_masked_bisect.py legacy masked`
+        want = {w.strip() for w in sys.argv[1:]}
+        variants = [v for v in variants if v[0].strip() in want]
     states = {}
     for name, mm, ml in variants:
         params = M.init_bsrnn(jax.random.PRNGKey(0), mcfg)
