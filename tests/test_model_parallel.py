@@ -1,0 +1,65 @@
+"""Model-parallel (dp x mp) serving path: numerical parity with the
+single-device forward on the virtual 8-device CPU mesh (conftest forces it).
+
+Matches no reference behavior (the reference is DDP-only, SURVEY.md §2.8);
+this is the beyond-parity sequence/band-sharded serving path of
+parallel/model_parallel.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
+from urgent2026_challenge_track1_tpu.models import bsrnn as M
+from urgent2026_challenge_track1_tpu.parallel import make_mesh
+from urgent2026_challenge_track1_tpu.parallel.model_parallel import (
+    make_sharded_enhance,
+    row_constrainer,
+)
+
+CFG = M.BSRNNConfig(input_dim=481, num_channel=16, num_layer=2, causal=False)
+STFT = STFTConfig(n_fft=960, hop_length=480)
+FS = 8000
+RNG = np.random.default_rng(11)
+
+
+def _mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    return make_mesh("dp=2,mp=4")
+
+
+def test_sharded_forward_matches_single_device():
+    mesh = _mesh()
+    params = M.init_bsrnn(jax.random.PRNGKey(0), CFG)
+    noisy = jnp.asarray(0.1 * RNG.standard_normal((2, FS)).astype(np.float32))
+    ref, _ = jax.jit(
+        lambda p, x: M.bsrnn_se_apply(p, CFG, STFT, x, FS)
+    )(params, noisy)
+    fn = make_sharded_enhance(mesh, CFG, STFT, FS)
+    got = fn(params, noisy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    # the output really is dp-sharded over the mesh
+    assert len(got.sharding.device_set) >= 2
+
+
+def test_sharded_masked_forward_matches_single_device():
+    mesh = _mesh()
+    params = M.init_bsrnn(jax.random.PRNGKey(1), CFG)
+    noisy = jnp.asarray(0.1 * RNG.standard_normal((2, FS)).astype(np.float32))
+    lens = jnp.asarray([FS, FS - 1234], np.int32)
+    ref, _ = jax.jit(
+        lambda p, x, l: M.bsrnn_se_apply(p, CFG, STFT, x, FS, lengths=l)
+    )(params, noisy, lens)
+    fn = make_sharded_enhance(mesh, CFG, STFT, FS, lengths=True)
+    got = fn(params, noisy, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_constrainer_tolerates_missing_axes():
+    mesh = _mesh()
+    c = row_constrainer(mesh, axes=("dp",))
+    x = jnp.zeros((4, 3, 2))
+    assert c(x).shape == x.shape

@@ -311,14 +311,22 @@ def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps,
 
 def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
                      frames: Optional[jnp.ndarray] = None,
-                     fm: Optional[jnp.ndarray] = None):
+                     fm: Optional[jnp.ndarray] = None,
+                     constrain=None):
     """One dual-path block on (B, T, K, N).  Norms and the residual stream
     stay float32; the LSTM/linear matmuls run in cfg.compute_dtype.
 
     With ``frames`` (B,) + ``fm`` (B, T) the block is length-exact: the two
     GroupNorms exclude padded frames from their statistics and the
     bidirectional time recurrence length-reverses its backward direction, so
-    activations at valid frames are independent of the bucket padding."""
+    activations at valid frames are independent of the bucket padding.
+
+    ``constrain`` (optional callable on (rows, L, N) sequence tensors) is the
+    model-parallel hook: parallel/model_parallel.py passes a
+    with_sharding_constraint that shards the independent recurrence rows
+    (B*K time rows / B*T band rows) over the mesh, so GSPMD splits each
+    recurrence across chips and inserts the resharding collectives between
+    the two paths (see that module for the design)."""
     B, T, K, N = z.shape
     cdtype = jnp.dtype(cfg.compute_dtype)
     fm4 = None if fm is None else fm[:, :, None, None]
@@ -339,6 +347,8 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
         t_emb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)  # (B, N)
         out = out + t_emb[:, None, None, :]
     seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N).astype(cdtype)
+    if constrain is not None:
+        seq = constrain(seq)
     if cfg.causal:
         h = lstm_ops.lstm(layer["rnn_time"], seq)
     elif frames is not None:
@@ -352,6 +362,8 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
         h = bilstm_pallas(layer["rnn_time"], seq)
     else:
         h = lstm_ops.bilstm(layer["rnn_time"], seq)
+    if constrain is not None:
+        h = constrain(h)
     h = jnp.dot(h, layer["fc_time_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_time_b"]
     z = z + h.reshape(B, K, T, N).transpose(0, 2, 1, 3)
@@ -367,12 +379,16 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
             axes=(1, 2, 3), eps=eps,
         )
     seq = out.reshape(B * T, K, N).astype(cdtype)
+    if constrain is not None:
+        seq = constrain(seq)
     if cfg.use_pallas_lstm:
         from urgent2026_challenge_track1_tpu.ops.pallas_lstm import bilstm_pallas
 
         h = bilstm_pallas(layer["rnn_freq"], seq)
     else:
         h = lstm_ops.bilstm(layer["rnn_freq"], seq)
+    if constrain is not None:
+        h = constrain(h)
     h = jnp.dot(h, layer["fc_freq_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_freq_b"]
     z = z + h.reshape(B, T, K, N)
@@ -381,15 +397,17 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
 
 def _run_layers(params, z, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
                 frames: Optional[jnp.ndarray] = None,
-                fm: Optional[jnp.ndarray] = None):
+                fm: Optional[jnp.ndarray] = None,
+                constrain=None):
     layer_fn = _dual_path_layer
+    if constrain is not None:
+        # bind the (non-jax-type) sharding hook before the checkpoint wrap
+        layer_fn = functools.partial(layer_fn, constrain=constrain)
     if cfg.remat:
         # recompute layer activations in the backward pass: training the
         # reference geometry (B=4, 2 s @48 kHz) otherwise exceeds one chip's
         # HBM on saved scan activations
-        layer_fn = jax.checkpoint(
-            _dual_path_layer, static_argnums=(2,), policy=None
-        )
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,), policy=None)
 
     def body(carry, layer):
         return layer_fn(carry, layer, cfg, t, eps, frames, fm), None
@@ -447,6 +465,7 @@ def bsrnn_apply(
     t: Optional[jnp.ndarray] = None,
     spec_cond: Optional[jnp.ndarray] = None,
     frames: Optional[jnp.ndarray] = None,
+    constrain=None,
 ):
     """Core discriminative BSRNN.  spec: (B, T, F) complex at rate ``fs``;
     returns mask*spec + residual.  The conditional (flow/score) variant with
@@ -463,7 +482,7 @@ def bsrnn_apply(
     if frames is not None:
         fm = (jnp.arange(T)[None, :] < frames[:, None]).astype(jnp.float32)
     z = _band_split_apply(params["band_split"], spec, cfg, K, eps, fm)
-    z = _run_layers(params, z, cfg, t, eps, frames, fm)
+    z = _run_layers(params, z, cfg, t, eps, frames, fm, constrain)
     m = _mask_decoder_head(params["mask_decoder"]["mask"], z, cfg, K, F, eps, fm)
     r = _mask_decoder_head(params["mask_decoder"]["residual"], z, cfg, K, F, eps, fm)
     return m * spec + r
@@ -475,7 +494,7 @@ def bsrnn_apply(
 
 
 def bsrnn_se_apply(params, cfg: BSRNNConfig, stft_cfg, noisy: jnp.ndarray, fs: int,
-                   lengths: Optional[jnp.ndarray] = None):
+                   lengths: Optional[jnp.ndarray] = None, constrain=None):
     """Waveform SE model (reference models/bsrnn.py:36-41).
 
     noisy: (B, T) waveform -> (enhanced (B, T), enhanced_spec (B, frames, bins)).
@@ -484,12 +503,14 @@ def bsrnn_se_apply(params, cfg: BSRNNConfig, stft_cfg, noisy: jnp.ndarray, fs: i
     statistics, length-reversed backward recurrences, and a masked-envelope
     iSTFT, so ``out[b, :lengths[b]]`` is independent of the bucket padding
     (the reference processes exact batch-max-length signals, dataset.py:404).
+
+    ``constrain``: model-parallel sharding hook, see parallel/model_parallel.
     """
     from urgent2026_challenge_track1_tpu.dsp import stft as dsp
 
     if lengths is None:
         spec = dsp.stft_encode(noisy, fs, stft_cfg)
-        enh_spec = bsrnn_apply(params, spec, cfg, fs)
+        enh_spec = bsrnn_apply(params, spec, cfg, fs, constrain=constrain)
         wav = dsp.stft_decode(enh_spec, fs, stft_cfg, length=noisy.shape[-1])
         return wav, enh_spec
     n_fft, _, hop = stft_cfg.geometry(fs)
@@ -497,7 +518,8 @@ def bsrnn_se_apply(params, cfg: BSRNNConfig, stft_cfg, noisy: jnp.ndarray, fs: i
     # bitwise what an exact-length (reference) STFT produces
     spec = dsp.stft_encode(dsp.reflect_tail(noisy, lengths, n_fft // 2), fs, stft_cfg)
     frames, fm = frame_validity(lengths, spec.shape[1], n_fft, hop)
-    enh_spec = bsrnn_apply(params, spec, cfg, fs, frames=frames)
+    enh_spec = bsrnn_apply(params, spec, cfg, fs, frames=frames,
+                           constrain=constrain)
     wav = dsp.stft_decode(
         enh_spec, fs, stft_cfg, length=noisy.shape[-1], frame_mask=fm
     )

@@ -1,0 +1,89 @@
+"""Model-parallel (sequence/band-sharded) serving over a 2-D device mesh.
+
+The reference's only parallelism is data-parallel DDP (SURVEY.md §2.8); this
+module goes beyond parity with a TPU-native model-parallel path for serving
+workloads where the batch is too small to fill a mesh (e.g. one long
+utterance per request).
+
+Design — exploit the dual-path factorization instead of sharding matmuls:
+
+* the TIME recurrence treats the B*K (batch x band) rows as independent
+  sequences, and the BAND recurrence treats the B*T (batch x frame) rows as
+  independent ones.  Each recurrence is therefore embarrassingly parallel
+  across its rows — no per-step halo or ring is needed (unlike sequence-
+  sharding a single RNN, which would serialize on the carried state).
+* we place one `with_sharding_constraint` on each recurrence's row-major
+  sequence tensor, sharding rows over ALL mesh axes (dp x mp).  GSPMD then
+  splits every recurrence across the mesh and inserts the all-to-all /
+  collective-permute resharding between the two paths of each layer (rows
+  change meaning from (b, k) to (b, t)), riding ICI.
+* norms reduce over (T, K, N): GSPMD inserts the cross-device reductions.
+
+The hook is threaded through models/bsrnn.py (``constrain=``) and reused by
+the flowse vector field via the shared ``_run_layers``.  The sharded path
+uses the XLA scan recurrence (``use_pallas_lstm=False``): a Pallas kernel
+inside a GSPMD-partitioned program would need a manual shard_map wrapper,
+and at multi-chip serving shapes the recurrence rows per chip are small
+enough that the scan path's XLA pipelining is the right tool — measure
+before changing this.
+
+Reference surface match: inference.py:30-33 (single-GPU enhancement); this
+is an additive capability, not a behavior deviation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["row_constrainer", "make_sharded_enhance"]
+
+
+def row_constrainer(mesh: Mesh, axes=("dp", "mp")):
+    """Callable sharding (rows, L, N) sequence tensors' rows over ``axes``.
+
+    Rows = B*K (time path) or B*T (band path); both are divisible-enough in
+    practice — GSPMD pads uneven shards internally.
+    """
+    present = tuple(a for a in axes if a in mesh.axis_names)
+    rows = present if len(present) > 1 else (present[0] if present else None)
+    sharding = NamedSharding(mesh, P(rows, None, None))
+
+    def constrain(seq: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.with_sharding_constraint(seq, sharding)
+
+    return constrain
+
+
+def make_sharded_enhance(mesh: Mesh, cfg, stft_cfg, fs: int,
+                         lengths: bool = False):
+    """Jitted (params, noisy[, lengths]) -> enhanced waveform over ``mesh``.
+
+    Params are replicated (they are small next to activations at serving
+    shapes); the wav batch is sharded over dp; inside the model the
+    recurrence rows are sharded over dp x mp (see module docstring).
+    """
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+
+    constrain = row_constrainer(mesh)
+    rep = NamedSharding(mesh, P())
+    wav_sh = NamedSharding(mesh, P("dp" if "dp" in mesh.axis_names else None))
+
+    if lengths:
+        def fn(params, noisy, lens):
+            wav, _ = M.bsrnn_se_apply(params, cfg, stft_cfg, noisy, fs,
+                                      lengths=lens, constrain=constrain)
+            return wav
+
+        return jax.jit(fn, in_shardings=(rep, wav_sh, rep),
+                       out_shardings=wav_sh)
+
+    def fn(params, noisy):
+        wav, _ = M.bsrnn_se_apply(params, cfg, stft_cfg, noisy, fs,
+                                  constrain=constrain)
+        return wav
+
+    return jax.jit(fn, in_shardings=(rep, wav_sh), out_shardings=wav_sh)
