@@ -182,3 +182,44 @@ def test_validate_logs_per_fs_sisnr(toy_dirs, tmp_path, monkeypatch):
     assert "val_sisnr" in vm
     assert "val_sisnr_8000" in vm  # toy pool is all 8 kHz
     assert np.isfinite(vm["val_sisnr_8000"])
+
+
+def test_plateau_resume_uses_latest_checkpoint(tmp_path):
+    """On a val-loss plateau the top-k manager garbage-collects every newer
+    save; resume must still pick the NEWEST step via the save_last tree, or a
+    restart-bounded run livelocks re-training the same window forever
+    (observed in the round-3 multi-fs soak).  Reference train_se.py:31,67-70
+    sets save_last=False — save_last=False reproduces that behavior."""
+    import jax.numpy as jnp
+
+    from urgent2026_challenge_track1_tpu.train.trainer import (
+        CheckpointIO,
+        TrainState,
+    )
+
+    def st(step):
+        return TrainState(
+            params={"w": jnp.full((3,), float(step))},
+            opt_state={"m": jnp.zeros((3,))},
+            ema_params=None,
+            step=step,
+            epoch=step // 10,
+            batch_in_epoch=step % 10,
+        )
+
+    # best val_loss at step 10, then a plateau strictly above it
+    ck = CheckpointIO(str(tmp_path / "ck"), save_top_k=1, save_last=True)
+    for step, vl in ((10, 0.5), (20, 0.7), (30, 0.7)):
+        ck.save(step, st(step), vl, {})
+    assert ck.latest_step() == 30
+    restored, meta = ck.restore(30, st(0))
+    assert restored.step == 30 and float(restored.params["w"][0]) == 30.0
+    assert meta["val_loss"] == pytest.approx(0.7)
+    # top-k retention itself is unchanged: only the best step survives there
+    assert list(ck.manager.all_steps()) == [10]
+
+    # strict reference behavior: resume falls back to the retained best
+    ref = CheckpointIO(str(tmp_path / "ref"), save_top_k=1, save_last=False)
+    for step, vl in ((10, 0.5), (20, 0.7)):
+        ref.save(step, st(step), vl, {})
+    assert ref.latest_step() == 10

@@ -37,6 +37,10 @@ class Config:
         self.train_name = "baseline"
         self.val_check_interval = 50000
         self.save_top_k = 3
+        self.save_last = True         # keep a "latest" ckpt for resume; the
+        #                               reference's save_last=False livelocks
+        #                               restart-bounded runs on a val plateau
+        #                               (train_se.py:31; see CheckpointIO)
         self.resume = True
         self.seed = 1996
         self.gradient_clip = 0.5

@@ -253,9 +253,20 @@ def make_val_step(bundle: ModelBundle, cfg: Config, fs: int):
 
 
 class CheckpointIO:
-    """Top-k on val_loss + auto-resume (reference train_se.py:19-32,67-72)."""
+    """Top-k on val_loss + auto-resume (reference train_se.py:19-32,67-72).
 
-    def __init__(self, directory: str, save_top_k: int = 3):
+    Beyond reference parity (which sets ``save_last=False`` and resumes from
+    the newest best-val_loss checkpoint, train_se.py:31,67-70), this keeps ONE
+    "latest" checkpoint in a sibling ``<directory>_last`` tree: when val_loss
+    plateaus, the top-k manager garbage-collects every newer save, so a
+    restart-bounded run (the TPU-tunnel RSS leak forces periodic restarts —
+    CLAUDE.md) would livelock resuming the same old best step forever.  Resume
+    picks the highest step across both trees.  Set ``save_last=False`` for
+    strict reference behavior.
+    """
+
+    def __init__(self, directory: str, save_top_k: int = 3,
+                 save_last: bool = True):
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
@@ -268,8 +279,14 @@ class CheckpointIO:
             create=True,
         )
         self.manager = ocp.CheckpointManager(self.directory, options=options)
+        self.last_manager = None
+        if save_last:
+            self.last_manager = ocp.CheckpointManager(
+                self.directory.rstrip(os.sep) + "_last",
+                options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            )
 
-    def save(self, step: int, state: TrainState, val_loss: float, config_dict: dict):
+    def _composite_save(self, state: TrainState, val_loss, config_dict):
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
@@ -279,20 +296,32 @@ class CheckpointIO:
         }
         if state.ema_params is not None:
             payload["ema"] = state.ema_params
+        return self._ocp.args.Composite(
+            state=self._ocp.args.StandardSave(payload),
+            meta=self._ocp.args.JsonSave(
+                {"val_loss": float(val_loss), "config": config_dict}
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, val_loss: float, config_dict: dict):
         self.manager.save(
             step,
-            args=self._ocp.args.Composite(
-                state=self._ocp.args.StandardSave(payload),
-                meta=self._ocp.args.JsonSave(
-                    {"val_loss": float(val_loss), "config": config_dict}
-                ),
-            ),
+            args=self._composite_save(state, val_loss, config_dict),
             metrics={"val_loss": float(val_loss)},
         )
         self.manager.wait_until_finished()
+        if self.last_manager is not None:
+            self.last_manager.save(
+                step, args=self._composite_save(state, val_loss, config_dict)
+            )
+            self.last_manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        return self.manager.latest_step()
+        steps = [self.manager.latest_step()]
+        if self.last_manager is not None:
+            steps.append(self.last_manager.latest_step())
+        steps = [s for s in steps if s is not None]
+        return max(steps) if steps else None
 
     def restore(self, step: int, template_state: TrainState) -> tuple[TrainState, dict]:
         payload = {
@@ -304,7 +333,10 @@ class CheckpointIO:
         }
         if template_state.ema_params is not None:
             payload["ema"] = template_state.ema_params
-        restored = self.manager.restore(
+        manager = self.manager
+        if step not in self.manager.all_steps() and self.last_manager is not None:
+            manager = self.last_manager
+        restored = manager.restore(
             step,
             args=self._ocp.args.Composite(
                 state=self._ocp.args.StandardRestore(payload),
@@ -397,7 +429,8 @@ class Trainer:
         )
         self.logger = MetricsLogger(self.exp_dir)
         self.ckpt = CheckpointIO(
-            os.path.join(self.exp_dir, "checkpoints"), cfg.save_top_k
+            os.path.join(self.exp_dir, "checkpoints"), cfg.save_top_k,
+            save_last=getattr(cfg, "save_last", True),
         )
         self._train_steps = {}
         self._val_steps = {}
