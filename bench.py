@@ -8,25 +8,39 @@ Prints ONE JSON line:
 The driver-set north star (BASELINE.json) is RTF >= 100x per chip, so
 ``vs_baseline = rtf / 100``.  Runs on whatever platform jax picks (the real
 TPU under the driver; CPU if forced locally).
+
+The measurement runs in a CHILD process with a hard timeout and one retry:
+a wedged remote-TPU tunnel blocks PJRT calls indefinitely (observed live in
+round 3 — even ``jax.devices()`` hangs, unkillable from within the
+process), and the bench must stay bounded for the driver.  On persistent
+failure it still prints exactly one JSON line, with an ``error`` field.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-# persistent compilation cache: repeat bench runs skip the multi-minute
-# XLA compile (safe on TPU; ignored where unsupported)
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-except Exception:
-    pass
+# seconds per attempt: tunnel compiles take 5-10 min (CLAUDE.md); leave
+# headroom without letting a dead tunnel eat the driver's round end
+ATTEMPT_TIMEOUT = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
+ATTEMPTS = 2
 
 
-def main():
+def measure():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # persistent compilation cache: repeat bench runs skip the multi-minute
+    # XLA compile (safe on TPU; ignored where unsupported)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
     from urgent2026_challenge_track1_tpu.models import bsrnn as M
 
@@ -73,6 +87,42 @@ def main():
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 100.0, 3),
+            }
+        )
+    )
+
+
+def main():
+    if os.environ.get("BENCH_CHILD") == "1":
+        measure()
+        return
+    err = "unknown"
+    for attempt in range(ATTEMPTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_CHILD": "1"},
+                capture_output=True,
+                text=True,
+                timeout=ATTEMPT_TIMEOUT,
+            )
+        except subprocess.TimeoutExpired:
+            err = f"timeout after {ATTEMPT_TIMEOUT}s (TPU tunnel unresponsive)"
+            continue
+        for line in reversed(r.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                print(line)
+                return
+        err = f"child exited rc={r.returncode}: {r.stderr.strip()[-300:]}"
+    print(
+        json.dumps(
+            {
+                "metric": "bsrnn_inference_rtf",
+                "value": 0.0,
+                "unit": "x_realtime",
+                "vs_baseline": 0.0,
+                "error": err,
             }
         )
     )
