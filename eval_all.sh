@@ -62,14 +62,24 @@ run_metric emotion_similarity python evaluation_metrics/calculate_emotion_simila
 run_metric lid_accuracy python evaluation_metrics/calculate_lid_accuracy.py --meta_tsv ${utt2lang} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/lid_acc --device ${device}
 run_metric wer python evaluation_metrics/calculate_wer.py --meta_tsv ${text} --utt2lang ${utt2lang} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/cer --device ${device}
 
-# Grouped breakdown over whatever was produced (needs the simulation meta.tsv)
+# Grouped breakdown over whatever was produced (needs the simulation
+# meta.tsv).  One malformed scp must not abort the suite after every metric
+# already ran — record the failure and still print the summary.
 if [ -n "${meta_tsv}" ] && [ -f "${meta_tsv}" ]; then
+    breakdown_ok=1
     for scp in $(find ${output_dir}/score -name '*.scp' | sort); do
         echo "=== breakdown: ${scp} ==="
-        python evaluation_metrics/get_breakdown.py "${scp}" --meta_tsv ${meta_tsv} \
-            | tee "${scp%.scp}.breakdown.txt"
+        if ! python evaluation_metrics/get_breakdown.py "${scp}" --meta_tsv ${meta_tsv} \
+            | tee "${scp%.scp}.breakdown.txt"; then
+            echo "FAILED: breakdown for ${scp}" >&2
+            breakdown_ok=0
+        fi
     done
-    produced+=("breakdown")
+    if [ "${breakdown_ok}" -eq 1 ]; then
+        produced+=("breakdown")
+    else
+        skipped+=("breakdown(failed)")
+    fi
 fi
 
 echo

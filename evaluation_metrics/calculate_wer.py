@@ -29,6 +29,8 @@ CHUNK_S = 30
 
 
 END_TIME_THRESHOLD = 29.00  # reference end_time_threshold="<29.00>"
+MIN_ADVANCE_S = 2.0  # smallest boundary-resume step; below this, advance a
+#                      full chunk (bounds the number of beam decodes)
 _TS_RE = re.compile(r"<(\d+\.\d+)>")
 
 
@@ -102,18 +104,29 @@ def decode_long(model, speech, fs, lang_sym, task_sym):
         segments, last_ts = parse_timestamped(text)
         offset = pos / fs
         win_seconds = len(window) / fs
+        is_last_window = pos + chunk >= len(speech)
+        # resume exactly at the final segment boundary — but only when that
+        # makes real progress: a near-zero last timestamp (mostly-silent
+        # window) would otherwise re-run a full beam decode every few
+        # hundred samples, and the whole window WAS already decoded, so a
+        # full-chunk advance drops nothing
+        advance_to_ts = (
+            not is_last_window
+            and last_ts is not None
+            and MIN_ADVANCE_S <= last_ts < END_TIME_THRESHOLD
+        )
         for t1, t2, seg in segments:
+            if advance_to_ts and t1 is not None and t2 is None:
+                # unclosed tail after the final timestamp: that audio is
+                # re-decoded from last_ts next window — emitting it here
+                # would duplicate its words in the transcript
+                continue
             a = offset + (t1 if t1 is not None else 0.0)
             b = offset + (t2 if t2 is not None else win_seconds)
             utts.append((a, b, seg))
-        is_last_window = pos + chunk >= len(speech)
         if is_last_window:
             break
-        if last_ts is not None and 0.0 < last_ts < END_TIME_THRESHOLD:
-            # resume exactly at the final segment boundary
-            pos += int(last_ts * fs)
-        else:
-            pos += chunk
+        pos += int(last_ts * fs) if advance_to_ts else chunk
     return utts
 
 

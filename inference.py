@@ -92,12 +92,14 @@ def main(args):
             T = wav.shape[0]
             key, sub = jax.random.split(key)
             if T > args.chunk_seconds * sr:
-                # long-form: fixed-shape chunked overlap-add (one program);
-                # chunks are full so no length masking is needed
+                # long-form: fixed-shape chunked overlap-add (one program)
                 enhanced = enhance_streaming(
-                    lambda x: np.asarray(
+                    # full chunks skip masking (fused inference kernel);
+                    # only the zero-padded final chunk masks its tail
+                    lambda x, n: np.asarray(
                         enhance(jnp.asarray(x), int(sr), sub,
-                                jnp.full((x.shape[0],), x.shape[1], jnp.int32))
+                                None if n == x.shape[1]
+                                else jnp.asarray([n], jnp.int32))
                     ),
                     wav.astype(np.float32), int(sr),
                     chunk_seconds=args.chunk_seconds,
@@ -152,9 +154,10 @@ def _main_batched(args, enhance, input_audios):
                 wav = wav[:, 0]
             key, sub = jax.random.split(key)
             y = enhance_streaming(
-                lambda x: np.asarray(
+                lambda x, n: np.asarray(
                     enhance(jnp.asarray(x), int(fs), sub,
-                            jnp.full((x.shape[0],), x.shape[1], jnp.int32))
+                            None if n == x.shape[1]
+                            else jnp.asarray([n], jnp.int32))
                 ),
                 wav.astype(np.float32), int(fs), chunk_seconds=args.chunk_seconds,
             )

@@ -36,15 +36,6 @@ from urgent2026_challenge_track1_tpu.train.trainer import (
 )
 
 
-def build_step(stream_input: bool, cfg, bundle, optimizer, fs):
-    pl_ops.STREAM_INPUT_TRAIN = stream_input
-    try:
-        step = make_train_step(bundle, optimizer, cfg, fs)
-    finally:
-        pl_ops.STREAM_INPUT_TRAIN = stream_input  # read at trace time below
-    return step
-
-
 def main():
     masked = "--masked" in sys.argv
     cfg = Config(batch_size=4, compute_dtype="bfloat16", use_pallas_lstm="true")

@@ -156,3 +156,23 @@ def test_codec_recipes_take_host_path(dm_sources):
             found_prerendered = True
             assert "clean" in item and "noisy" in item
     assert found_prerendered, "codec recipes never took the host-render path"
+
+
+def test_parse_augmentation_ops_repeated_op_type():
+    """A chain repeating an op type must still yield exactly 3 aug_order
+    entries (fixed-shape collate) with last-occurrence parameters winning
+    (round-3 review finding: 4 entries crashed the loader)."""
+    from urgent2026_challenge_track1_tpu.data.dynamic_device import (
+        parse_augmentation_ops,
+    )
+
+    p = parse_augmentation_ops(
+        "bandwidth_limitation-a->8000/bandwidth_limitation-b->4000"
+        "/clipping(min=0.1,max=0.9)", 16000
+    )
+    assert sorted(p["aug_order"]) == [0, 1, 2] and len(p["aug_order"]) == 3
+    assert p["bw_fs_new"] == 4000          # last occurrence wins
+    assert p["aug_order"][:2] == [0, 1]    # sampled order preserved
+    # none augmentation: canonical identity order
+    q = parse_augmentation_ops("none", 16000)
+    assert q["aug_order"] == [0, 1, 2] and q["bw_fs_new"] == 16000

@@ -63,3 +63,27 @@ def test_constrainer_tolerates_missing_axes():
     c = row_constrainer(mesh, axes=("dp",))
     x = jnp.zeros((4, 3, 2))
     assert c(x).shape == x.shape
+
+
+def test_sharded_flow_enhance_matches_single_device():
+    """flowse serving over the dp x mp mesh equals the single-device sampler
+    (the constrain hook rides the shared _run_layers; round-3 review found
+    the hook was documented but not threaded)."""
+    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
+    from urgent2026_challenge_track1_tpu.parallel.model_parallel import (
+        make_sharded_flow_enhance,
+    )
+
+    mesh = _mesh()
+    fcfg = FM.FlowSEConfig(n_fft=960, hop_length=480, bsrnn_hidden=8,
+                           num_layer=1)
+    params = FM.init_flowse(jax.random.PRNGKey(2), fcfg)
+    noisy = jnp.asarray(0.1 * RNG.standard_normal((2, FS)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    ref = jax.jit(
+        lambda p, k, x: FM.flowse_enhance(p, fcfg, k, x, FS, N=3)
+    )(params, key, noisy)
+    fn = make_sharded_flow_enhance(mesh, fcfg, FS, N=3)
+    got = fn(params, key, noisy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    assert len(got.sharding.device_set) >= 2

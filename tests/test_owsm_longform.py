@@ -121,3 +121,38 @@ def test_levenshtein_metric_long_form_end_to_end():
     assert ret["WER"]["equal"] == 3
     assert ret["WER"]["insert"] == 6
     assert ret["WER"]["replace"] == ret["WER"]["delete"] == 0
+
+
+def test_decode_long_unclosed_tail_not_duplicated():
+    """Text after the final timestamp is re-decoded from the boundary next
+    window; emitting it in BOTH windows duplicated its words (round-3
+    review finding)."""
+    speech = np.zeros(60 * FS, np.float64)
+    stub = StubOWSM([
+        "<0.00> foo<15.00> bar",            # unclosed tail -> resume at 15 s
+        "<0.00> bar continues<28.00>",      # re-decodes the 'bar' audio
+        "<0.00> tail words<10.00>",         # last window
+    ])
+    text = wer.owsm_predict(stub, speech, FS, src_lang="eng", long_form=True)
+    lines = text.split("\n")
+    assert lines[0] == "[00:00.000 --> 00:15.000] foo"
+    assert lines[1] == "[00:15.000 --> 00:43.000] bar continues"
+    # the dangling 'bar' from window 1 must NOT appear as its own line
+    assert sum("] bar" in ln and "continues" not in ln for ln in lines) == 0
+    assert len(stub.windows) == 3
+
+
+def test_decode_long_min_advance_floor():
+    """A near-zero last timestamp must not shrink the window advance to a
+    few hundred samples (one full beam decode per 0.02 s of audio); below
+    MIN_ADVANCE_S the window advances a full chunk instead."""
+    speech = np.zeros(60 * FS, np.float64)
+    stub = StubOWSM([
+        "<0.00> x<0.50>",       # tiny boundary -> full-chunk advance
+        "<0.00> y<5.00>",       # last window
+    ])
+    text = wer.owsm_predict(stub, speech, FS, src_lang="eng", long_form=True)
+    assert len(stub.windows) == 2
+    lines = text.split("\n")
+    assert lines[0] == "[00:00.000 --> 00:00.500] x"
+    assert lines[1] == "[00:30.000 --> 00:35.000] y"

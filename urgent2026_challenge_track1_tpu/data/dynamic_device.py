@@ -112,36 +112,48 @@ class DynamicMixingSourceDataset(DynamicMixingDataset):
 
         params = {
             "snr_db": float(info["snr_dB"]), "use_rir": use_rir,
-            "clip_lo": 0.0, "clip_hi": 1.0, "bw_fs_new": speech_fs,
-            "lost_packets": [],
+            **parse_augmentation_ops(info["augmentation"], speech_fs),
         }
-        # per-item op order (0=bandwidth, 1=clipping, 2=packet loss): the
-        # augmentation string lists the ops in the SAMPLED chain order the
-        # host renderer would apply (simulate_data_from_param.py:529-570)
-        order = []
-        for a in info["augmentation"].split("/"):
-            if a.startswith("bandwidth_limitation"):
-                m = re.fullmatch(r"bandwidth_limitation-(.*)->(\d+)", a)
-                params["bw_fs_new"] = int(m.group(2))
-                order.append(0)
-            elif a.startswith("clipping"):
-                m = re.fullmatch(r"clipping\(min=(.*),max=(.*)\)", a)
-                params["clip_lo"], params["clip_hi"] = float(m.group(1)), float(m.group(2))
-                order.append(1)
-            elif a.startswith("packet_loss"):
-                m = re.fullmatch(
-                    r"packet_loss\(packet_loss_indices=(.*),packet_duration_ms=(.*)\)", a
-                )
-                import ast
-
-                params["lost_packets"] = ast.literal_eval(m.group(1))
-                order.append(2)
-        # absent ops have identity parameters; append them in canonical order
-        params["aug_order"] = order + [i for i in (0, 1, 2) if i not in order]
         return {
             "prerendered": False, "speech": speech, "noise": noise, "rir": rir,
             "fs": speech_fs, "length": T, **params,
         }
+
+
+def parse_augmentation_ops(augmentation: str, fs: int) -> dict:
+    """Device-op parameters + per-item op order from the sampled chain.
+
+    Order codes: 0=bandwidth, 1=clipping, 2=packet loss; the augmentation
+    string lists the ops in the SAMPLED chain order the host renderer would
+    apply (simulate_data_from_param.py:529-570).  Absent ops get identity
+    parameters and canonical-order slots.  A chain that repeats an op type
+    (last occurrence wins the parameters) is de-duplicated so ``aug_order``
+    always has exactly 3 entries — the fixed-shape collate requires it.
+    """
+    params = {
+        "clip_lo": 0.0, "clip_hi": 1.0, "bw_fs_new": fs, "lost_packets": [],
+    }
+    order = []
+    for a in augmentation.split("/"):
+        if a.startswith("bandwidth_limitation"):
+            m = re.fullmatch(r"bandwidth_limitation-(.*)->(\d+)", a)
+            params["bw_fs_new"] = int(m.group(2))
+            order.append(0)
+        elif a.startswith("clipping"):
+            m = re.fullmatch(r"clipping\(min=(.*),max=(.*)\)", a)
+            params["clip_lo"], params["clip_hi"] = float(m.group(1)), float(m.group(2))
+            order.append(1)
+        elif a.startswith("packet_loss"):
+            m = re.fullmatch(
+                r"packet_loss\(packet_loss_indices=(.*),packet_duration_ms=(.*)\)", a
+            )
+            import ast
+
+            params["lost_packets"] = ast.literal_eval(m.group(1))
+            order.append(2)
+    order = list(dict.fromkeys(order))
+    params["aug_order"] = order + [i for i in (0, 1, 2) if i not in order]
+    return params
 
 
 def collate_device_render(items, pad_quantum_ms: int = 1000) -> DeviceRenderBatch:

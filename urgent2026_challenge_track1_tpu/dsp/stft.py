@@ -59,6 +59,26 @@ def num_frames(n_samples: int, n_fft: int, hop: int, center: bool = True) -> int
     return 1 + (n_samples - n_fft) // hop
 
 
+def valid_frames(lengths: jnp.ndarray, n_fft: int, hop: int,
+                 center: bool = True) -> jnp.ndarray:
+    """Per-sample STFT frame count, traced form of ``num_frames``: (B,)->(B,).
+
+    The ONE canonical copy of the frame-count formula — the model mask
+    (models/bsrnn.frame_validity), the loss masks (train/losses), and any
+    inline masks must all route through here so a geometry change cannot
+    make them disagree."""
+    L = lengths.astype(jnp.int32)
+    if center:
+        L = L + 2 * (n_fft // 2)
+    return 1 + (L - n_fft) // hop
+
+
+def frames_mask(frames: jnp.ndarray, n_frames: int,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """Frame counts (B,) -> validity mask (B, n_frames)."""
+    return (jnp.arange(n_frames)[None, :] < frames[:, None]).astype(dtype)
+
+
 @functools.lru_cache(maxsize=256)
 def _frame_indices(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
     return (np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]).astype(

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from urgent2026_challenge_track1_tpu.dsp import stft as _stft
 from urgent2026_challenge_track1_tpu.ops import lstm as lstm_ops
 from urgent2026_challenge_track1_tpu.ops.norms import group_norm, masked_group_norm
 
@@ -452,9 +453,8 @@ def _mask_decoder_head(p, z, cfg: BSRNNConfig, n_bands: int, n_bins: int, eps,
 
 def frame_validity(lengths: jnp.ndarray, n_frames: int, n_fft: int, hop: int):
     """(frames (B,), fm (B, n_frames)) for exact-length STFT geometry."""
-    frames = 1 + (lengths.astype(jnp.int32) + 2 * (n_fft // 2) - n_fft) // hop
-    fm = (jnp.arange(n_frames)[None, :] < frames[:, None]).astype(jnp.float32)
-    return frames, fm
+    frames = _stft.valid_frames(lengths, n_fft, hop)
+    return frames, _stft.frames_mask(frames, n_frames)
 
 
 def bsrnn_apply(
@@ -480,7 +480,7 @@ def bsrnn_apply(
     K = band_count(cfg.input_dim, cfg.target_fs, fs, F)
     fm = None
     if frames is not None:
-        fm = (jnp.arange(T)[None, :] < frames[:, None]).astype(jnp.float32)
+        fm = _stft.frames_mask(frames, T)
     z = _band_split_apply(params["band_split"], spec, cfg, K, eps, fm)
     z = _run_layers(params, z, cfg, t, eps, frames, fm, constrain)
     m = _mask_decoder_head(params["mask_decoder"]["mask"], z, cfg, K, F, eps, fm)

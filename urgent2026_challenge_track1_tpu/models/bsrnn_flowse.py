@@ -179,32 +179,36 @@ def init_flowse(key, cfg: FlowSEConfig):
     return params
 
 
-def _dnn_apply(params, cfg: B.BSRNNConfig, x_spec, y_spec, t, fs: int, frames=None):
+def _dnn_apply(params, cfg: B.BSRNNConfig, x_spec, y_spec, t, fs: int, frames=None,
+               constrain=None):
     """Conditional BSRNN: g = m * x_t + r (models/bsrnn_flowse.py:255-318).
 
     ``frames`` (B,): valid-frame counts — activates the length-exact path
-    (masked norms, length-reversed backward recurrences, zeroed conv halo)."""
+    (masked norms, length-reversed backward recurrences, zeroed conv halo).
+    ``constrain``: model-parallel row-sharding hook (see
+    parallel/model_parallel.py), forwarded to the shared dual-path stack."""
     _, T, F = x_spec.shape
     eps = cfg.norm_eps
     K = B.band_count(cfg.input_dim, cfg.target_fs, fs, F)
     fm = None
     if frames is not None:
-        fm = (jnp.arange(T)[None, :] < frames[:, None]).astype(jnp.float32)
+        fm = dsp.frames_mask(frames, T)
     zx = B._band_split_apply(params["band_split"], x_spec, cfg, K, eps, fm)
     zy = B._band_split_apply(params["band_split_y"], y_spec, cfg, K, eps, fm)
     z = (
         jnp.concatenate([zx, zy], axis=-1) @ params["condition_fc_w"]
         + params["condition_fc_b"]
     )
-    z = B._run_layers(params, z, cfg, t, eps, frames, fm)
+    z = B._run_layers(params, z, cfg, t, eps, frames, fm, constrain)
     m = _grad_decoder_head(params["grad_decoder"]["mask"], z, cfg, K, F, eps, fm)
     r = _grad_decoder_head(params["grad_decoder"]["residual"], z, cfg, K, F, eps, fm)
     return m * x_spec + r
 
 
-def vector_field(params, cfg: FlowSEConfig, x, t, y, fs: int, frames=None):
+def vector_field(params, cfg: FlowSEConfig, x, t, y, fs: int, frames=None,
+                 constrain=None):
     """VF(x, t, y) = -dnn(x, y, t)  (flow_model.py:203-209)."""
-    return -_dnn_apply(params, cfg.dnn_cfg, x, y, t, fs, frames)
+    return -_dnn_apply(params, cfg.dnn_cfg, x, y, t, fs, frames, constrain)
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +274,7 @@ def flowse_loss(
 
 def flowse_enhance(
     params, cfg: FlowSEConfig, key, noisy, fs: int, N: int = 15,
-    solver: str = "euler", lengths=None,
+    solver: str = "euler", lengths=None, constrain=None,
 ):
     """Sampler-based enhancement (flow_model.py:189-200).  (B,T) -> (B,T).
 
@@ -288,7 +292,7 @@ def flowse_enhance(
         y = dsp.stft_encode(noisy, fs, cfg.stft_cfg)
 
     def vf_fn(x, t, y_):
-        return vector_field(params, cfg, x, t, y_, fs, frames)
+        return vector_field(params, cfg, x, t, y_, fs, frames, constrain)
 
     sample, _ = sample_flow(
         vf_fn, cfg.ode, key, y, solver=solver, N=N, T_rev=cfg.T_rev, t_eps=cfg.t_eps

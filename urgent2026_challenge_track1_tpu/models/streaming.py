@@ -19,7 +19,7 @@ __all__ = ["enhance_streaming"]
 
 
 def enhance_streaming(
-    enhance_chunk: Callable[[np.ndarray], np.ndarray],
+    enhance_chunk: Callable[[np.ndarray, int], np.ndarray],
     wav: np.ndarray,
     fs: int,
     chunk_seconds: float = 30.0,
@@ -27,17 +27,23 @@ def enhance_streaming(
 ) -> np.ndarray:
     """Enhance arbitrarily long mono audio with one fixed chunk shape.
 
-    ``enhance_chunk`` maps a (1, chunk) float32 array to (1, chunk); chunks
-    are right-zero-padded at the tail so every call shares one shape.
+    ``enhance_chunk(x, n_valid)`` maps a (1, chunk) float32 array to
+    (1, chunk); the final chunk is right-zero-padded to the shared shape and
+    ``n_valid`` tells the callback how many leading samples are real audio.
+    Full chunks (``n_valid == chunk``) should skip length masking — the
+    unmasked path uses the fused bidirectional inference kernel (round-3
+    review: masking provably-full chunks just forgoes that kernel).
     """
     T = wav.shape[-1]
     chunk = int(chunk_seconds * fs)
-    overlap = int(overlap_seconds * fs)
+    # an overlap >= chunk would make the hop zero (infinite loop); clamp to
+    # half a chunk so small --chunk_seconds values stay valid
+    overlap = min(int(overlap_seconds * fs), chunk // 2)
     hop = chunk - overlap
     if T <= chunk:
         x = np.zeros((1, chunk), np.float32)
         x[0, :T] = wav
-        return np.asarray(enhance_chunk(x))[0, :T]
+        return np.asarray(enhance_chunk(x, T))[0, :T]
 
     ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
     out = np.zeros(T, np.float32)
@@ -47,7 +53,7 @@ def enhance_streaming(
         end = min(start + chunk, T)
         x = np.zeros((1, chunk), np.float32)
         x[0, : end - start] = wav[start:end]
-        y = np.asarray(enhance_chunk(x))[0, : end - start]
+        y = np.asarray(enhance_chunk(x, end - start))[0, : end - start]
         w = np.ones(end - start, np.float32)
         if start > 0:
             w[:overlap] = ramp[: end - start][: overlap]

@@ -19,8 +19,9 @@ Design — exploit the dual-path factorization instead of sharding matmuls:
   change meaning from (b, k) to (b, t)), riding ICI.
 * norms reduce over (T, K, N): GSPMD inserts the cross-device reductions.
 
-The hook is threaded through models/bsrnn.py (``constrain=``) and reused by
-the flowse vector field via the shared ``_run_layers``.  The sharded path
+The hook is threaded through models/bsrnn.py (``constrain=``) and through
+the flowse vector field / sampler (``make_sharded_flow_enhance``), both via
+the shared ``_run_layers``.  The sharded path
 uses the XLA scan recurrence (``use_pallas_lstm=False``): a Pallas kernel
 inside a GSPMD-partitioned program would need a manual shard_map wrapper,
 and at multi-chip serving shapes the recurrence rows per chip are small
@@ -39,7 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["row_constrainer", "make_sharded_enhance"]
+__all__ = ["row_constrainer", "make_sharded_enhance",
+           "make_sharded_flow_enhance"]
 
 
 def row_constrainer(mesh: Mesh, axes=("dp", "mp")):
@@ -87,3 +89,33 @@ def make_sharded_enhance(mesh: Mesh, cfg, stft_cfg, fs: int,
         return wav
 
     return jax.jit(fn, in_shardings=(rep, wav_sh), out_shardings=wav_sh)
+
+
+def make_sharded_flow_enhance(mesh: Mesh, cfg, fs: int, N: int = 15,
+                              solver: str = "euler", lengths: bool = False):
+    """Jitted (params, key, noisy[, lengths]) -> flowse sample over ``mesh``.
+
+    Same design as ``make_sharded_enhance`` for the generative family: the
+    vector-field net's recurrence rows are sharded over dp x mp at every
+    sampler step via the ``constrain`` hook threaded through
+    ``flowse_enhance``."""
+    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
+
+    constrain = row_constrainer(mesh)
+    rep = NamedSharding(mesh, P())
+    wav_sh = NamedSharding(mesh, P("dp" if "dp" in mesh.axis_names else None))
+
+    if lengths:
+        def fn(params, key, noisy, lens):
+            return FM.flowse_enhance(params, cfg, key, noisy, fs, N=N,
+                                     solver=solver, lengths=lens,
+                                     constrain=constrain)
+
+        return jax.jit(fn, in_shardings=(rep, rep, wav_sh, rep),
+                       out_shardings=wav_sh)
+
+    def fn(params, key, noisy):
+        return FM.flowse_enhance(params, cfg, key, noisy, fs, N=N,
+                                 solver=solver, constrain=constrain)
+
+    return jax.jit(fn, in_shardings=(rep, rep, wav_sh), out_shardings=wav_sh)

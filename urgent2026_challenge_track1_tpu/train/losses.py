@@ -60,10 +60,7 @@ def valid_frames(
     Matches ``dsp.stft.num_frames`` (torch.stft center=True geometry):
     1 + (L + 2*(n_fft//2) - n_fft) // hop.
     """
-    L = lengths.astype(jnp.int32)
-    if center:
-        L = L + 2 * (n_fft // 2)
-    return 1 + (L - n_fft) // hop
+    return dsp.valid_frames(lengths, n_fft, hop, center)
 
 
 def frame_mask(
@@ -76,7 +73,7 @@ def frame_mask(
 ) -> jnp.ndarray:
     """(B,) sample counts -> (B, n_frames) STFT-frame validity mask."""
     nf = valid_frames(lengths, n_fft, hop, center)
-    return (jnp.arange(n_frames)[None, :] < nf[:, None]).astype(dtype)
+    return dsp.frames_mask(nf, n_frames, dtype)
 
 
 def _masked_std(x: jnp.ndarray, mask: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
