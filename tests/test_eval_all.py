@@ -130,3 +130,58 @@ def test_eval_all_graceful_degradation(tmp_path):
     breakdowns = list((out / "score").rglob("*.breakdown.txt"))
     assert breakdowns, "get_breakdown output missing"
     assert "Group by fs" in breakdowns[0].read_text()
+
+
+def test_eval_all_breakdown_failure_does_not_abort(tmp_path):
+    """A malformed scp in the score tree fails its get_breakdown run but the
+    suite still prints the summary and exits 0, recording
+    'breakdown(failed)' as skipped (round-3 review: the old pipeline
+    aborted after every metric had already run)."""
+    from urgent2026_challenge_track1_tpu.utils import audio_io
+
+    fs = 16000
+    clean = 0.1 * np.sin(2 * np.pi * 220 * np.arange(fs) / fs)
+    noisy = clean + 0.01 * np.random.default_rng(0).standard_normal(fs)
+    ref = tmp_path / "ref.wav"
+    inf = tmp_path / "inf.wav"
+    audio_io.write(str(ref), clean.astype(np.float32), fs)
+    audio_io.write(str(inf), noisy.astype(np.float32), fs)
+    (tmp_path / "inf.scp").write_text(f"u0 {inf}\n")
+    (tmp_path / "ref.scp").write_text(f"u0 {ref}\n")
+    (tmp_path / "utt2lang").write_text("u0 eng\n")
+    (tmp_path / "text").write_text("u0 words\n")
+    (tmp_path / "meta.tsv").write_text(
+        "id\tfs\tsnr_dB\tlength\tspeech_sid\trir_uid\taugmentation\n"
+        f"u0\t{fs}\t5\t{fs}\tlibrispeech_0\tnone\tnone\n"
+    )
+    primary, p808 = _stub_dnsmos_models(tmp_path)
+    out = tmp_path / "out"
+    # pre-seed a malformed scp the breakdown loop will trip over
+    bogus = out / "score" / "bogus"
+    bogus.mkdir(parents=True)
+    (bogus / "metric.scp").write_text("u0 not_a_number\n")
+    env = {
+        # deliberate CLAUDE.md deviation: /root/.axon_site is EXCLUDED from
+        # PYTHONPATH so the child CLIs run on genuine CPU (no TPU tunnel)
+        "PATH": f"{os.path.dirname(os.sys.executable)}:/usr/bin:/bin",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": str(REPO),
+        "HOME": os.environ.get("HOME", "/root"),
+        "inf_scp": str(tmp_path / "inf.scp"),
+        "ref_scp": str(tmp_path / "ref.scp"),
+        "output_dir": str(out),
+        "utt2lang": str(tmp_path / "utt2lang"),
+        "text": str(tmp_path / "text"),
+        "meta_tsv": str(tmp_path / "meta.tsv"),
+        "nj": "1",
+        "device": "cpu",
+        "dnsmos_args": f"--primary_model {primary} --p808_model {p808}",
+    }
+    r = subprocess.run(
+        ["bash", str(REPO / "eval_all.sh")],
+        capture_output=True, text=True, cwd=str(REPO), env=env, timeout=1200,
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "FAILED: breakdown for" in r.stderr, r.stderr[-1500:]
+    assert "breakdown(failed)" in r.stdout.split("skipped", 1)[1]
+    assert "produced (2): intrusive_se dnsmos" in r.stdout, r.stdout[-2000:]
