@@ -347,9 +347,10 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
         proj = t[:, None] * layer["t_proj_w"][None, :] * (2.0 * np.pi)
         t_emb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)  # (B, N)
         out = out + t_emb[:, None, None, :]
-    seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N).astype(cdtype)
     if constrain is not None:
-        seq = constrain(seq)
+        out = constrain(out, "time")  # (B over dp, K over mp): the b-major
+        #                               reshape below carries it to the rows
+    seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N).astype(cdtype)
     if cfg.causal:
         h = lstm_ops.lstm(layer["rnn_time"], seq)
     elif frames is not None:
@@ -363,8 +364,6 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
         h = bilstm_pallas(layer["rnn_time"], seq)
     else:
         h = lstm_ops.bilstm(layer["rnn_time"], seq)
-    if constrain is not None:
-        h = constrain(h)
     h = jnp.dot(h, layer["fc_time_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_time_b"]
     z = z + h.reshape(B, K, T, N).transpose(0, 2, 1, 3)
@@ -379,17 +378,15 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
             z, layer["norm_freq_scale"], layer["norm_freq_bias"], fm4,
             axes=(1, 2, 3), eps=eps,
         )
-    seq = out.reshape(B * T, K, N).astype(cdtype)
     if constrain is not None:
-        seq = constrain(seq)
+        out = constrain(out, "band")  # (B over dp, T over mp)
+    seq = out.reshape(B * T, K, N).astype(cdtype)
     if cfg.use_pallas_lstm:
         from urgent2026_challenge_track1_tpu.ops.pallas_lstm import bilstm_pallas
 
         h = bilstm_pallas(layer["rnn_freq"], seq)
     else:
         h = lstm_ops.bilstm(layer["rnn_freq"], seq)
-    if constrain is not None:
-        h = constrain(h)
     h = jnp.dot(h, layer["fc_freq_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_freq_b"]
     z = z + h.reshape(B, T, K, N)

@@ -45,17 +45,40 @@ __all__ = ["row_constrainer", "make_sharded_enhance",
 
 
 def row_constrainer(mesh: Mesh, axes=("dp", "mp")):
-    """Callable sharding (rows, L, N) sequence tensors' rows over ``axes``.
+    """Callable sharding the dual-path activations over ``axes``.
 
-    Rows = B*K (time path) or B*T (band path); both are divisible-enough in
-    practice — GSPMD pads uneven shards internally.
+    Two forms, matching the model's call sites (models/bsrnn.py
+    ``_dual_path_layer``):
+
+    * ``constrain(x, "time")`` / ``constrain(x, "band")`` on the 4-D
+      (B, T, K, N) tensor BEFORE each path's rows reshape: time shards
+      (B over dp, K over mp) and band shards (B over dp, T over mp).  The
+      subsequent b-major reshape to (B*K, T, N) / (B*T, K, N) merges two
+      already-sharded leading dims, so GSPMD propagates the row sharding
+      through the reshape, and the between-path transition is an
+      axis-aligned (T, K) all-to-all — constraining the flattened rows
+      directly instead made GSPMD fall back to full rematerialization
+      ("involuntary full remat" warnings) because the two flattenings have
+      no common axis mapping.
+    * ``constrain(seq)`` on a 3-D (rows, L, N) tensor shards rows over all
+      ``axes`` (used after each recurrence, where the flattening is
+      unchanged).  Rows = B*K or B*T; GSPMD pads uneven shards internally.
     """
     present = tuple(a for a in axes if a in mesh.axis_names)
     rows = present if len(present) > 1 else (present[0] if present else None)
-    sharding = NamedSharding(mesh, P(rows, None, None))
+    dp = "dp" if "dp" in present else None
+    mp = tuple(a for a in present if a != "dp") or None
+    if mp is not None and len(mp) == 1:
+        mp = mp[0]
+    rows_sh = NamedSharding(mesh, P(rows, None, None))
+    path_sh = {
+        "time": NamedSharding(mesh, P(dp, None, mp, None)),
+        "band": NamedSharding(mesh, P(dp, mp, None, None)),
+    }
 
-    def constrain(seq: jnp.ndarray) -> jnp.ndarray:
-        return jax.lax.with_sharding_constraint(seq, sharding)
+    def constrain(x: jnp.ndarray, path: Optional[str] = None) -> jnp.ndarray:
+        sharding = rows_sh if path is None else path_sh[path]
+        return jax.lax.with_sharding_constraint(x, sharding)
 
     return constrain
 
