@@ -21,34 +21,13 @@ from urgent2026_challenge_track1_tpu.utils import audio_io as sf
 
 
 def _enhance_fns(kind, params, model_cfg, stft_cfg, nfe=15, solver="euler"):
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
+    # shared with the serving daemon (serve.py); lengths make the bucket
+    # padding EXACT — out[b, :lengths[b]] equals the reference's
+    # exact-length processing (tests/test_length_masking.py pins this)
+    from urgent2026_challenge_track1_tpu.serving import make_enhance_fn
 
-    from urgent2026_challenge_track1_tpu.models import bsrnn as bsrnn_mod
-    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as flow_mod
-
-    if kind == "discriminative":
-
-        @partial(jax.jit, static_argnums=(1,))
-        def enhance(wav, fs, lengths):
-            # lengths make the bucket padding EXACT: out[b, :lengths[b]]
-            # equals the reference's exact-length processing
-            # (tests/test_length_masking.py pins this)
-            out, _ = bsrnn_mod.bsrnn_se_apply(
-                params, model_cfg, stft_cfg, wav, fs, lengths=lengths
-            )
-            return out
-
-        return lambda wav, fs, key, lengths: enhance(wav, fs, lengths)
-
-    @partial(jax.jit, static_argnums=(2,))
-    def enhance_flow(wav, key, fs, lengths):
-        return flow_mod.flowse_enhance(
-            params, model_cfg, key, wav, fs, N=nfe, solver=solver, lengths=lengths
-        )
-
-    return lambda wav, fs, key, lengths: enhance_flow(wav, key, fs, lengths)
+    return make_enhance_fn(kind, params, model_cfg, stft_cfg,
+                           nfe=nfe, solver=solver)
 
 
 def main(args):

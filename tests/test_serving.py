@@ -1,0 +1,230 @@
+"""Serving runtime: dynamic (fs, bucket) batching engine + HTTP daemon.
+
+No reference counterpart (the reference's inference.py:48-64 loops B=1 over
+an scp); these tests pin the TPU-serving contract: grouping by (fs, bucket),
+power-of-two padded dispatch, exact-length slicing + 0.9 peak normalization,
+max-wait flushes, long-form streaming routing, and the wire format.
+"""
+
+import http.client
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from urgent2026_challenge_track1_tpu.serving import BatchingEngine
+
+
+class FakeEnhance:
+    """Records every dispatch; halves the signal (so outputs are checkable
+    before normalization)."""
+
+    def __init__(self):
+        self.calls = []
+        self.lock = threading.Lock()
+
+    def __call__(self, wav, fs, key, lengths):
+        wav = np.asarray(wav)
+        with self.lock:
+            self.calls.append(
+                (wav.shape, int(fs),
+                 None if lengths is None else np.asarray(lengths).copy())
+            )
+        return wav * 0.5
+
+
+def _norm(y):
+    return y / (np.abs(y).max() or 1.0) * 0.9
+
+
+def test_grouping_and_exact_lengths():
+    fake = FakeEnhance()
+    eng = BatchingEngine(fake, max_batch=4, autostart=False)
+    rng = np.random.default_rng(0)
+    reqs = []  # mixed rates and lengths -> three (fs, bucket) groups
+    for fs, L in [(8000, 6500), (8000, 8000), (8000, 7200),
+                  (16000, 12000), (16000, 15999), (8000, 12345)]:
+        w = 0.1 * rng.standard_normal(L).astype(np.float32)
+        reqs.append((w, fs, eng.submit(w, fs)))
+
+    served = 0
+    while eng.step():
+        served += 1
+    assert served == 3  # one dispatch per (fs, bucket) group
+
+    for w, fs, fut in reqs:
+        y = fut.result(timeout=1)
+        assert y.shape == w.shape
+        np.testing.assert_allclose(y, _norm(w * 0.5), rtol=1e-6)
+
+    # each dispatch is padded to a power of two with filler lengths = bucket
+    shapes = sorted(c[0] for c in fake.calls)
+    assert shapes == [(1, 16000), (2, 16000), (4, 8000)]
+    for shape, fs, lens in fake.calls:
+        assert lens.shape[0] == shape[0] and (lens <= shape[1]).all()
+        if shape == (4, 8000):  # 3 real requests + 1 filler row
+            assert sorted(lens.tolist()) == [6500, 7200, 8000, 8000]
+
+    snap = eng.snapshot()
+    assert snap["requests"] == 6 and snap["batches"] == 3
+    assert snap["pending"] == 0 and snap["errors"] == 0
+
+
+def test_full_batch_flush_and_max_batch_split():
+    fake = FakeEnhance()
+    eng = BatchingEngine(fake, max_batch=4, autostart=False)
+    futs = [eng.submit(np.ones(4000, np.float32), 8000) for _ in range(6)]
+    assert eng.step(force=False) == 4  # full group flushes without waiting
+    assert eng.step(force=False) == 0  # remaining 2 not yet overdue
+    assert eng.step(force=True) == 2
+    for f in futs:
+        f.result(timeout=1)
+    assert [c[0][0] for c in fake.calls] == [4, 2]
+
+
+def test_max_wait_flush_autostarted():
+    eng = BatchingEngine(FakeEnhance(), max_batch=64, max_wait_ms=30)
+    try:
+        t0 = time.monotonic()
+        y = eng.enhance_sync(np.ones(1000, np.float32), 8000, timeout=5)
+        assert y.shape == (1000,)
+        assert time.monotonic() - t0 < 4  # flushed by the timer, not a full batch
+    finally:
+        eng.close()
+
+
+def test_long_form_routes_to_streaming():
+    calls = []
+
+    def fake(wav, fs, key, lengths):
+        calls.append(np.asarray(wav).shape)
+        return np.asarray(wav)
+
+    eng = BatchingEngine(fake, chunk_seconds=1.0, normalize=False,
+                         autostart=False)
+    w = np.sin(np.linspace(0, 100, 3 * 8000 + 123)).astype(np.float32)
+    fut = eng.submit(w, 8000)
+    assert eng.step() == 1
+    y = fut.result(timeout=1)
+    assert y.shape == w.shape
+    assert all(s == (1, 8000) for s in calls)  # fixed 1 s chunks, B=1
+    assert len(calls) >= 3
+    np.testing.assert_allclose(y, w, atol=1e-5)  # crossfade of identity
+    assert eng.snapshot()["long_form"] == 1
+
+
+def test_dispatch_error_propagates_to_all_waiters():
+    def boom(wav, fs, key, lengths):
+        raise RuntimeError("device fell over")
+
+    eng = BatchingEngine(boom, max_batch=2, autostart=False)
+    futs = [eng.submit(np.ones(100, np.float32), 8000) for _ in range(2)]
+    eng.step()
+    for f in futs:
+        with pytest.raises(RuntimeError, match="device fell over"):
+            f.result(timeout=1)
+    assert eng.snapshot()["errors"] == 2
+
+
+def test_close_drains_pending():
+    fake = FakeEnhance()
+    eng = BatchingEngine(fake, max_batch=64, max_wait_ms=10_000)
+    futs = [eng.submit(np.ones(500, np.float32), 8000) for _ in range(3)]
+    eng.close()  # must flush the waiting group before stopping
+    for f in futs:
+        assert f.result(timeout=1).shape == (500,)
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.submit(np.ones(10, np.float32), 8000)
+
+
+def test_engine_with_real_tiny_model():
+    import jax
+
+    from urgent2026_challenge_track1_tpu.config import Config
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+    from urgent2026_challenge_track1_tpu.serving import make_enhance_fn
+    from urgent2026_challenge_track1_tpu.train.trainer import build_model
+
+    cfg = Config(model_configs={"num_channel": 8, "num_layer": 1})
+    bundle = build_model(cfg)
+    params = M.init_bsrnn(jax.random.PRNGKey(0), bundle.model_cfg)
+    enhance = make_enhance_fn("discriminative", params, bundle.model_cfg,
+                              bundle.stft_cfg)
+    with BatchingEngine(enhance, max_batch=2, max_wait_ms=20) as eng:
+        rng = np.random.default_rng(1)
+        futs = [eng.submit(0.1 * rng.standard_normal(L), 8000)
+                for L in (6100, 7900, 8000)]
+        outs = [f.result(timeout=120) for f in futs]
+    for (L, y) in zip((6100, 7900, 8000), outs):
+        assert y.shape == (L,)
+        assert np.isfinite(y).all()
+        assert 0.85 <= np.abs(y).max() <= 0.901
+
+
+def test_http_server_round_trip(tmp_path):
+    from serve import make_server
+    from urgent2026_challenge_track1_tpu.utils import audio_io
+
+    eng = BatchingEngine(FakeEnhance(), max_batch=4, max_wait_ms=10)
+    server = make_server(eng, "127.0.0.1", 0, platform="cpu")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and b'"ok"' in r.read()
+
+        w = 0.25 * np.sin(np.linspace(0, 40, 5000)).astype(np.float32)
+        body = audio_io.write_bytes(w, 16000, subtype="FLOAT")
+        conn.request("POST", "/enhance?subtype=FLOAT", body=body,
+                     headers={"Content-Type": "audio/wav"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("X-Sample-Rate") == "16000"
+        y, fs = audio_io.read_bytes(r.read())
+        assert fs == 16000 and y.shape == (5000,)
+        np.testing.assert_allclose(y, _norm(w * 0.5), atol=1e-6)
+
+        conn.request("GET", "/stats")
+        r = conn.getresponse()
+        import json
+
+        stats = json.loads(r.read())
+        assert stats["requests"] == 1 and stats["errors"] == 0
+
+        conn.request("POST", "/enhance", body=b"not audio")
+        r = conn.getresponse()
+        assert r.status == 400 and b"undecodable" in r.read()
+
+        conn.request("POST", "/nope", body=b"x")
+        assert conn.getresponse().status == 404
+    finally:
+        server.shutdown()
+        eng.close()
+
+
+def test_audio_io_bytes_round_trip():
+    from urgent2026_challenge_track1_tpu.utils import audio_io
+
+    w = 0.5 * np.sin(np.linspace(0, 30, 4321))
+    buf = audio_io.write_bytes(w, 22050)  # PCM_16 default
+    y, fs = audio_io.read_bytes(buf)
+    assert fs == 22050 and y.shape == w.shape
+    np.testing.assert_allclose(y, w, atol=1.0 / 32768)
+
+    buf = audio_io.write_bytes(np.stack([w, -w], 1), 8000, subtype="FLOAT")
+    y, fs = audio_io.read_bytes(buf)
+    assert fs == 8000 and y.shape == (4321, 2)
+    np.testing.assert_allclose(y[:, 0], w, atol=1e-7)
+
+    # flac bytes decode through the same entry point
+    from urgent2026_challenge_track1_tpu.utils import flac
+
+    pcm = (0.3 * np.sin(np.linspace(0, 20, 2000))).astype(np.float64)
+    y, fs = audio_io.read_bytes(flac.encode(pcm, 16000, bits=16))
+    assert fs == 16000 and y.shape == (2000,)
+    np.testing.assert_allclose(y, pcm, atol=2.0 / 32768)

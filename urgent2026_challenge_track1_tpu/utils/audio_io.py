@@ -30,7 +30,15 @@ try:  # pragma: no cover - depends on environment
 except ImportError:
     _sf = None
 
-__all__ = ["read", "write", "info_frames", "read_audio", "save_audio"]
+__all__ = [
+    "read",
+    "write",
+    "read_bytes",
+    "write_bytes",
+    "info_frames",
+    "read_audio",
+    "save_audio",
+]
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -236,6 +244,29 @@ def write(path: str, data: np.ndarray, samplerate: int, subtype: Optional[str] =
         with open(path, "wb") as f:
             f.write(flac.encode(data, samplerate, bits=bits))
         return
+    with open(path, "wb") as f:
+        f.write(write_bytes(data, samplerate, subtype))
+
+
+def read_bytes(buf: bytes, dtype: str = "float64"):
+    """(data, fs) from an in-memory wav or flac buffer (serving requests
+    arrive as bytes; no temp file round-trip)."""
+    if buf[:4] == b"fLaC":
+        from urgent2026_challenge_track1_tpu.utils import flac
+
+        data, fs = flac.decode(buf)
+    else:
+        data, fs = _decode(buf)
+    return np.asarray(data).astype(dtype), fs
+
+
+def write_bytes(data: np.ndarray, samplerate: int,
+                subtype: Optional[str] = None) -> bytes:
+    """Encode a RIFF/WAVE buffer in memory (PCM_16 default, FLOAT kept
+    lossless for serving responses)."""
+    data = np.asarray(data)
+    if data.ndim == 2 and data.shape[0] < data.shape[1]:
+        data = data.T
     n_ch = 1 if data.ndim == 1 else data.shape[1]
     subtype = subtype or "PCM_16"
     if subtype == "PCM_16":
@@ -253,8 +284,7 @@ def write(path: str, data: np.ndarray, samplerate: int, subtype: Optional[str] =
         "<IHHIIHH", 16, fmt, n_ch, samplerate, samplerate * block_align, block_align, bits
     )
     hdr += b"data" + struct.pack("<I", len(raw))
-    with open(path, "wb") as f:
-        f.write(hdr + raw)
+    return hdr + raw
 
 
 # -- reference-shaped helpers (simulate_data_from_param.py:347-372) ---------
