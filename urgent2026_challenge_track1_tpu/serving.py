@@ -179,6 +179,12 @@ class BatchingEngine:
         del s["wait_s_sum"]
         return s
 
+    def reset_stats(self):
+        """Zero the counters (e.g. after warmup, before a measured window)."""
+        with self._lock:
+            for k in self._stats:
+                self._stats[k] = type(self._stats[k])()
+
     def close(self, timeout: float = 30.0):
         """Drain pending requests, then stop the worker."""
         with self._cv:
