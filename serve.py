@@ -104,8 +104,20 @@ def main(args):
     kind, params, model_cfg, stft_cfg = load_model_for_inference(args.ckpt_path)
     platform = jax.devices()[0].platform
     print(f"Loaded {kind} model from {args.ckpt_path} on {platform}")
-    enhance = make_enhance_fn(kind, params, model_cfg, stft_cfg,
-                              nfe=args.nfe, solver=args.solver)
+    if args.mesh:
+        from urgent2026_challenge_track1_tpu.parallel import make_mesh
+        from urgent2026_challenge_track1_tpu.serving import (
+            make_sharded_serving_fn,
+        )
+
+        mesh = make_mesh(args.mesh)
+        print(f"model-parallel serving over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        enhance = make_sharded_serving_fn(kind, params, model_cfg, stft_cfg,
+                                          mesh, nfe=args.nfe,
+                                          solver=args.solver)
+    else:
+        enhance = make_enhance_fn(kind, params, model_cfg, stft_cfg,
+                                  nfe=args.nfe, solver=args.solver)
 
     if args.warmup_fs:
         # compile the common programs before accepting traffic (first
@@ -156,6 +168,10 @@ if __name__ == "__main__":
     parser.add_argument("--chunk_seconds", type=float, default=30.0,
                         help="longer inputs stream as fixed overlap-add "
                              "chunks instead of joining a batch")
+    parser.add_argument("--mesh", type=str, default="",
+                        help="serve model-parallel over a device mesh, e.g. "
+                             "'dp=2,mp=4' (batch rows shard over dp, "
+                             "recurrence rows over dp x mp)")
     parser.add_argument("--warmup_fs", type=int, nargs="*", default=[],
                         help="sampling rates to pre-compile (e.g. 16000 "
                              "48000) before accepting traffic")

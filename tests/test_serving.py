@@ -228,3 +228,42 @@ def test_audio_io_bytes_round_trip():
     y, fs = audio_io.read_bytes(flac.encode(pcm, 16000, bits=16))
     assert fs == 16000 and y.shape == (2000,)
     np.testing.assert_allclose(y, pcm, atol=2.0 / 32768)
+
+
+def test_engine_with_sharded_serving_fn():
+    """Multi-chip serving: BatchingEngine over make_sharded_serving_fn on
+    the virtual 8-device mesh matches the single-device engine output."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+    from urgent2026_challenge_track1_tpu.parallel import make_mesh
+    from urgent2026_challenge_track1_tpu.serving import (
+        make_enhance_fn,
+        make_sharded_serving_fn,
+    )
+
+    cfg = M.BSRNNConfig(input_dim=481, num_channel=16, num_layer=2,
+                        causal=False)
+    stft_cfg = STFTConfig(n_fft=960, hop_length=480)
+    params = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh("dp=2,mp=4")
+    sharded = make_sharded_serving_fn("discriminative", params, cfg,
+                                      stft_cfg, mesh)
+    plain = make_enhance_fn("discriminative", params, cfg, stft_cfg)
+
+    rng = np.random.default_rng(7)
+    wavs = [0.1 * rng.standard_normal(L).astype(np.float32)
+            for L in (6100, 8000, 7333)]
+    with BatchingEngine(sharded, max_batch=4, max_wait_ms=20) as eng:
+        got = [f.result(timeout=300)
+               for f in [eng.submit(w, 8000) for w in wavs]]
+    with BatchingEngine(plain, max_batch=4, max_wait_ms=20) as eng:
+        ref = [f.result(timeout=300)
+               for f in [eng.submit(w, 8000) for w in wavs]]
+    for g, r, w in zip(got, ref, wavs):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, r, atol=3e-5)

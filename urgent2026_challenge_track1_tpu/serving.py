@@ -31,7 +31,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-__all__ = ["BatchingEngine", "make_enhance_fn"]
+__all__ = ["BatchingEngine", "make_enhance_fn", "make_sharded_serving_fn"]
 
 
 def make_enhance_fn(kind, params, model_cfg, stft_cfg, nfe: int = 15,
@@ -68,6 +68,45 @@ def make_enhance_fn(kind, params, model_cfg, stft_cfg, nfe: int = 15,
         )
 
     return lambda wav, fs, key, lengths: enhance_flow(wav, key, fs, lengths)
+
+
+def make_sharded_serving_fn(kind, params, model_cfg, stft_cfg, mesh,
+                            nfe: int = 15, solver: str = "euler") -> Callable:
+    """Engine-shaped enhance over a dp x mp device mesh (multi-chip serving).
+
+    Same ``(wav, fs, key, lengths)`` contract as :func:`make_enhance_fn`,
+    but each (fs,) program is built by ``parallel.model_parallel`` — batch
+    rows shard over ``dp`` and the dual-path recurrence rows over dp x mp
+    (see that module's docstring).  Programs are cached per fs; params ride
+    replicated.  A ``lengths=None`` call (full streaming chunks) runs with
+    full-bucket lengths — the sharded builders are masked-only, and masking
+    a provably-full chunk only costs the fused-kernel fast path, which the
+    scan-based sharded program does not use anyway.
+    """
+    from urgent2026_challenge_track1_tpu.parallel import model_parallel as MP
+
+    cache: dict = {}
+
+    def enhance(wav, fs, key, lengths):
+        import jax.numpy as jnp
+
+        fs = int(fs)
+        if fs not in cache:
+            if kind == "discriminative":
+                cache[fs] = MP.make_sharded_enhance(
+                    mesh, model_cfg, stft_cfg, fs, lengths=True
+                )
+            else:
+                cache[fs] = MP.make_sharded_flow_enhance(
+                    mesh, model_cfg, fs, N=nfe, solver=solver, lengths=True
+                )
+        if lengths is None:
+            lengths = jnp.full((wav.shape[0],), wav.shape[1], jnp.int32)
+        if kind == "discriminative":
+            return cache[fs](params, wav, lengths)
+        return cache[fs](params, key, wav, lengths)
+
+    return enhance
 
 
 class _Request:
