@@ -279,12 +279,34 @@ def test_engine_recovers_after_dispatch_error():
             raise RuntimeError("transient device error")
         return np.asarray(wav) * 0.5
 
-    with BatchingEngine(flaky, max_batch=1, max_wait_ms=5) as eng:
+    with BatchingEngine(flaky, max_batch=1, max_wait_ms=5,
+                        max_retries=0) as eng:
         w = np.ones(800, np.float32)
         with pytest.raises(RuntimeError, match="transient"):
             eng.enhance_sync(w, 8000, timeout=5)
         y = eng.enhance_sync(w, 8000, timeout=5)
     np.testing.assert_allclose(y, _norm(w * 0.5), rtol=1e-6)
+
+
+def test_dispatch_retries_transient_failure():
+    """Default max_retries=1: a batch that fails once (e.g. a crashed TPU
+    worker) is re-dispatched and the request still succeeds."""
+    state = {"n": 0}
+
+    def flaky(wav, fs, key, lengths):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
+        return np.asarray(wav) * 0.5
+
+    eng = BatchingEngine(flaky, max_batch=2, autostart=False)
+    w = np.ones(800, np.float32)
+    fut = eng.submit(w, 8000)
+    assert eng.step() == 1
+    np.testing.assert_allclose(fut.result(timeout=1), _norm(w * 0.5),
+                               rtol=1e-6)
+    snap = eng.snapshot()
+    assert snap["retries"] == 1 and snap["errors"] == 0
 
 
 def test_engine_stress_concurrent_submitters():

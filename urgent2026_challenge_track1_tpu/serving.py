@@ -139,6 +139,10 @@ class BatchingEngine:
     chunk_seconds: inputs longer than this stream through fixed-shape
                    overlap-add chunks instead of joining a batch.
     normalize:     apply the CLI's 0.9 peak normalization to each output.
+    max_retries:   re-dispatch a failed batch this many times before failing
+                   its requests (the remote-TPU worker can crash transiently
+                   — "UNAVAILABLE: TPU worker process crashed"; a retry
+                   rebuilds the executable and usually succeeds).
     autostart:     start the background dispatch thread (tests drive
                    :meth:`step` manually with ``autostart=False``).
     """
@@ -146,7 +150,7 @@ class BatchingEngine:
     def __init__(self, enhance: Callable, *, max_batch: int = 8,
                  max_wait_ms: float = 25.0, bucket_seconds: float = 1.0,
                  chunk_seconds: float = 30.0, normalize: bool = True,
-                 seed: int = 0, autostart: bool = True):
+                 max_retries: int = 1, seed: int = 0, autostart: bool = True):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._enhance = enhance
@@ -155,6 +159,7 @@ class BatchingEngine:
         self.bucket_seconds = float(bucket_seconds)
         self.chunk_seconds = float(chunk_seconds)
         self.normalize = bool(normalize)
+        self.max_retries = int(max_retries)
         self._seed = seed
         self._key = None  # jax PRNGKey, created lazily on first dispatch
         self._lock = threading.Lock()
@@ -166,7 +171,7 @@ class BatchingEngine:
         self._closed = False
         self._stats = {
             "requests": 0, "batches": 0, "batched_requests": 0,
-            "long_form": 0, "errors": 0, "wait_s_sum": 0.0,
+            "long_form": 0, "errors": 0, "retries": 0, "wait_s_sum": 0.0,
         }
         self._worker: Optional[threading.Thread] = None
         if autostart:
@@ -323,51 +328,60 @@ class BatchingEngine:
             self._stats["wait_s_sum"] += time.monotonic() - req.t_submit
         req.future.set_result(y)
 
-    def _dispatch(self, batch):
+    def _compute(self, batch) -> list:
+        """Run the device work for one batch; returns one waveform per
+        request (raises on device failure — retried by :meth:`_dispatch`)."""
         import jax.numpy as jnp
 
-        try:
-            fs = batch[0].fs
-            key = self._next_key()
-            if len(batch) == 1 and batch[0].wav.shape[0] > self.chunk_seconds * fs:
-                from urgent2026_challenge_track1_tpu.models.streaming import (
-                    enhance_streaming,
-                )
-
-                req = batch[0]
-                y = enhance_streaming(
-                    lambda x, n: np.asarray(
-                        self._enhance(jnp.asarray(x), fs, key,
-                                      None if n == x.shape[1]
-                                      else jnp.asarray([n], jnp.int32))
-                    ),
-                    req.wav, fs, chunk_seconds=self.chunk_seconds,
-                )
-                with self._lock:
-                    self._stats["batches"] += 1
-                    self._stats["batched_requests"] += 1
-                self._finalize(req, y)
-                return
-            bucket = self._bucket(max(r.wav.shape[0] for r in batch), fs)
-            B = _next_pow2(len(batch))
-            x = np.zeros((B, bucket), np.float32)
-            # filler rows keep full-bucket lengths: zero audio is processed
-            # harmlessly while a zero length would zero norm denominators
-            lens = np.full((B,), bucket, np.int32)
-            for j, r in enumerate(batch):
-                x[j, : r.wav.shape[0]] = r.wav
-                lens[j] = r.wav.shape[0]
-            out = np.asarray(
-                self._enhance(jnp.asarray(x), fs, key, jnp.asarray(lens))
+        fs = batch[0].fs
+        key = self._next_key()
+        if len(batch) == 1 and batch[0].wav.shape[0] > self.chunk_seconds * fs:
+            from urgent2026_challenge_track1_tpu.models.streaming import (
+                enhance_streaming,
             )
-            with self._lock:
-                self._stats["batches"] += 1
-                self._stats["batched_requests"] += len(batch)
-            for j, r in enumerate(batch):
-                self._finalize(r, out[j])
-        except Exception as e:  # surface the failure on every waiter
-            with self._lock:
-                self._stats["errors"] += len(batch)
-            for r in batch:
-                if not r.future.done():
-                    r.future.set_exception(e)
+
+            return [enhance_streaming(
+                lambda x, n: np.asarray(
+                    self._enhance(jnp.asarray(x), fs, key,
+                                  None if n == x.shape[1]
+                                  else jnp.asarray([n], jnp.int32))
+                ),
+                batch[0].wav, fs, chunk_seconds=self.chunk_seconds,
+            )]
+        bucket = self._bucket(max(r.wav.shape[0] for r in batch), fs)
+        B = _next_pow2(len(batch))
+        x = np.zeros((B, bucket), np.float32)
+        # filler rows keep full-bucket lengths: zero audio is processed
+        # harmlessly while a zero length would zero norm denominators
+        lens = np.full((B,), bucket, np.int32)
+        for j, r in enumerate(batch):
+            x[j, : r.wav.shape[0]] = r.wav
+            lens[j] = r.wav.shape[0]
+        out = np.asarray(
+            self._enhance(jnp.asarray(x), fs, key, jnp.asarray(lens))
+        )
+        return [out[j] for j in range(len(batch))]
+
+    def _dispatch(self, batch):
+        for attempt in range(self.max_retries + 1):
+            try:
+                outs = self._compute(batch)
+                break
+            except Exception as e:
+                if attempt < self.max_retries:
+                    # transient device failure (e.g. a crashed TPU worker):
+                    # the next dispatch rebuilds/reloads the executable
+                    with self._lock:
+                        self._stats["retries"] += 1
+                    continue
+                with self._lock:  # surface the failure on every waiter
+                    self._stats["errors"] += len(batch)
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                return
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["batched_requests"] += len(batch)
+        for r, y in zip(batch, outs):
+            self._finalize(r, y)
