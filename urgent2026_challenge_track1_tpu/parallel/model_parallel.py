@@ -30,6 +30,16 @@ before changing this.
 
 Reference surface match: inference.py:30-33 (single-GPU enhancement); this
 is an additive capability, not a behavior deviation.
+
+Known cosmetic warning (investigated, fix rejected): at degenerate dryrun
+shapes the flowse sampler's remat region logs one GSPMD "involuntary full
+rematerialization" for the bilstm fwd/bwd concat (time->band constraint
+back-propagation).  It does NOT appear at the tested serving shapes
+(tests/test_model_parallel.py).  Anchoring the residual z on the band
+layout (and/or a post-scan batch-only layout) removes the warning but
+pushes transposed layouts into the STFT rfft, which XLA's CPU fft thunk
+rejects at runtime (RET_CHECK IsMonotonicWithDim0Major) — breaking every
+CPU-mesh test.  Re-attempt only with multi-chip hardware to measure on.
 """
 
 from __future__ import annotations
