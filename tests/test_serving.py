@@ -445,3 +445,19 @@ def test_serve_cli_subprocess_end_to_end(tmp_path):
             proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_submit_rejects_bad_inputs():
+    with BatchingEngine(FakeEnhance(), autostart=False) as eng:
+        for bad in (np.float32(0.5), np.zeros((10, 0), np.float32),
+                    np.zeros((2, 3, 4), np.float32), np.zeros(0, np.float32)):
+            with pytest.raises(ValueError):
+                eng.submit(bad, 8000)
+        with pytest.raises(ValueError):
+            eng.submit(np.ones(100, np.float32), 0)
+        # (T, C) stereo takes channel 0
+        w2 = np.stack([np.ones(50, np.float32), -np.ones(50, np.float32)], 1)
+        fut = eng.submit(w2, 8000)
+        eng.step()
+        np.testing.assert_allclose(fut.result(timeout=1),
+                                   _norm(np.ones(50) * 0.5), rtol=1e-6)

@@ -186,12 +186,16 @@ class BatchingEngine:
         """Enqueue one mono utterance; the Future resolves to the enhanced
         float32 waveform at the input's exact length."""
         wav = np.asarray(wav)
-        if wav.ndim > 1:  # (T, C) -> first channel, like inference.py
+        if wav.ndim not in (1, 2) or (wav.ndim == 2 and wav.shape[1] < 1):
+            raise ValueError(f"audio must be (T,) or (T, C), got {wav.shape}")
+        if wav.ndim == 2:  # (T, C) -> first channel, like inference.py
             wav = wav[:, 0]
         wav = wav.astype(np.float32)
         if wav.shape[0] == 0:
             raise ValueError("empty audio")
         fs = int(fs)
+        if fs <= 0:
+            raise ValueError(f"sampling rate must be positive, got {fs}")
         req = _Request(wav, fs)
         with self._cv:
             if self._closed:
