@@ -33,6 +33,10 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
     tests can run it on an ephemeral port with a fake engine)."""
 
     class Handler(BaseHTTPRequestHandler):
+        # keep-alive: every response carries Content-Length, so persistent
+        # connections are safe and save per-request TCP setup
+        protocol_version = "HTTP/1.1"
+
         # one line per request, to stderr like BaseHTTPRequestHandler but
         # without reverse-DNS lookups stalling the 1-CPU host
         def address_string(self):
