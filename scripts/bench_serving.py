@@ -39,6 +39,11 @@ def main():
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    try:  # persistent compile cache: repeat runs skip the tunnel compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
     from urgent2026_challenge_track1_tpu.models import bsrnn as M
