@@ -142,10 +142,18 @@ def main(args):
     server = make_server(engine, args.host, args.port, platform=platform)
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, max_wait={args.max_wait_ms}ms)")
+
+    import signal
+
+    def _graceful(signum, frame):
+        # orchestrators send SIGTERM: stop accepting, drain, exit cleanly
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        print("shutting down: draining pending requests")
     finally:
         threading.Thread(target=server.shutdown, daemon=True).start()
         engine.close()
