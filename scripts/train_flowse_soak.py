@@ -94,6 +94,10 @@ def main():
         valid_set_path=str(work / "validation"),
         batch_size=2,
         num_train_epochs=100000,
+        # stretch the per-epoch StepLR to the soak's tiny (~250-step)
+        # epochs, else lr decays to ~0 within a few thousand steps (the
+        # round-3 multi-fs soak froze at lr~3e-12 — see PARITY.md)
+        lr_step_size=25,
         val_check_interval=250,
         max_duration=96000,
         num_worker=2,

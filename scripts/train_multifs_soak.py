@@ -152,6 +152,11 @@ def main():
         # reference notes ~14 GB at batch=2 for this model, too.
         batch_size=2,
         num_train_epochs=100000,   # bounded by --steps below, not epochs
+        # the reference's per-epoch StepLR (gamma 0.85) assumes real epoch
+        # sizes; this soak's epochs are ~180 steps, so the unscaled schedule
+        # froze the 21.6k-step round-3 run at lr~3e-12 after ~10k steps.
+        # Stretch the decay interval to keep lr meaningful over a soak.
+        lr_step_size=25,
         # checkpoint often: remote-worker crashes must not erase progress
         val_check_interval=200,
         max_duration=96000,        # no cropping: pool clips are 2 s
