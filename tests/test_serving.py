@@ -461,3 +461,30 @@ def test_submit_rejects_bad_inputs():
         eng.step()
         np.testing.assert_allclose(fut.result(timeout=1),
                                    _norm(np.ones(50) * 0.5), rtol=1e-6)
+
+
+def test_dispatch_watchdog_visible_in_snapshot():
+    """A wedged backend shows up as a growing dispatch_in_flight_s (the
+    dead-tunnel failure mode blocks PJRT calls forever; /stats must show it)."""
+    import threading as th
+
+    release = th.Event()
+
+    def wedged(wav, fs, key, lengths):
+        release.wait(10)
+        return np.asarray(wav)
+
+    with BatchingEngine(wedged, max_batch=1, max_wait_ms=5,
+                        normalize=False) as eng:
+        assert eng.snapshot()["dispatch_in_flight_s"] == 0.0
+        fut = eng.submit(np.ones(100, np.float32), 8000)
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline:
+            if eng.snapshot()["dispatch_in_flight_s"] > 0.05:
+                break
+            time.sleep(0.02)
+        else:
+            raise AssertionError("watchdog never showed the stuck dispatch")
+        release.set()
+        fut.result(timeout=5)
+        assert eng.snapshot()["dispatch_in_flight_s"] == 0.0

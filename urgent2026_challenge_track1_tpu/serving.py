@@ -173,6 +173,7 @@ class BatchingEngine:
             "requests": 0, "batches": 0, "batched_requests": 0,
             "long_form": 0, "errors": 0, "retries": 0, "wait_s_sum": 0.0,
         }
+        self._dispatch_started: Optional[float] = None  # wedge watchdog
         self._worker: Optional[threading.Thread] = None
         if autostart:
             self._worker = threading.Thread(
@@ -215,11 +216,21 @@ class BatchingEngine:
         return self.submit(wav, fs).result(timeout=timeout)
 
     def snapshot(self) -> dict:
-        """Stats for monitoring endpoints (counts + mean occupancy/wait)."""
+        """Stats for monitoring endpoints (counts + mean occupancy/wait).
+
+        ``dispatch_in_flight_s`` is the wedge watchdog: a wedged device
+        backend (e.g. a dead TPU tunnel — observed to block PJRT calls
+        FOREVER) leaves the worker stuck inside one dispatch; liveness
+        probes should alarm when this grows beyond the expected batch time.
+        """
         with self._lock:
             s = dict(self._stats)
             s["pending"] = sum(len(q) for q in self._queues.values()) + len(
                 self._long
+            )
+            s["dispatch_in_flight_s"] = (
+                0.0 if self._dispatch_started is None
+                else time.monotonic() - self._dispatch_started
             )
         b = max(s["batches"], 1)
         s["mean_batch_occupancy"] = s["batched_requests"] / b
@@ -367,6 +378,15 @@ class BatchingEngine:
         return [out[j] for j in range(len(batch))]
 
     def _dispatch(self, batch):
+        with self._lock:
+            self._dispatch_started = time.monotonic()
+        try:
+            self._dispatch_inner(batch)
+        finally:
+            with self._lock:
+                self._dispatch_started = None
+
+    def _dispatch_inner(self, batch):
         for attempt in range(self.max_retries + 1):
             try:
                 outs = self._compute(batch)
