@@ -38,44 +38,62 @@ def average_checkpoints(ckpt_dir: str, output: str, top_k: int = 3,
     if not all_steps:
         raise SystemExit(f"no checkpoints under {ckpt_dir}")
 
-    def load(step):
-        r = mgr.restore(step, args=ocp.args.Composite(
-            state=ocp.args.StandardRestore(), meta=ocp.args.JsonRestore()
-        ))
-        return r["state"], r["meta"]
-
+    # selection needs only the small JSON meta items, never the states
+    metas = {
+        s: mgr.restore(s, args=ocp.args.Composite(
+            meta=ocp.args.JsonRestore()))["meta"]
+        for s in all_steps
+    }
     if steps:
         chosen = sorted(int(s) for s in steps)
         missing = [s for s in chosen if s not in all_steps]
         if missing:
             raise SystemExit(f"steps {missing} not in {all_steps}")
-        loaded = [load(s) for s in chosen]
     else:
-        loaded = [load(s) for s in all_steps]
-        order = sorted(range(len(all_steps)),
-                       key=lambda i: loaded[i][1]["val_loss"])[:top_k]
-        chosen = [all_steps[i] for i in sorted(order)]
-        loaded = [loaded[i] for i in sorted(order)]
+        chosen = sorted(sorted(all_steps,
+                               key=lambda s: metas[s]["val_loss"])[:top_k])
 
-    def mean_trees(trees):
+    # stream one state at a time into float64 running sums (a flagship
+    # state incl. optimizer moments is large; never hold k of them)
+    sums = {"params": None, "ema": None}
+    dtypes = {}
+    epoch = 0
+    have_ema = True
+    for s in chosen:
+        state = mgr.restore(s, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore()))["state"]
+        epoch = max(epoch, int(state.get("epoch", 0)))
+        for kind_ in ("params", "ema"):
+            tree = state.get(kind_)
+            if tree is None:
+                if kind_ == "ema":
+                    have_ema = False
+                continue
+            if kind_ not in dtypes:
+                dtypes[kind_] = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x).dtype, tree)
+            acc = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float64), tree)
+            sums[kind_] = acc if sums[kind_] is None else (
+                jax.tree_util.tree_map(np.add, sums[kind_], acc))
+        del state
+
+    def finish(sum_tree, dtype_tree):
+        k = float(len(chosen))
         return jax.tree_util.tree_map(
-            lambda *xs: np.mean(np.stack([np.asarray(x, np.float64)
-                                          for x in xs]), axis=0)
-            .astype(np.asarray(xs[0]).dtype),
-            *trees,
-        )
+            lambda s_, d: (s_ / k).astype(d), sum_tree, dtype_tree)
 
     payload = {
-        "params": mean_trees([s["params"] for s, _ in loaded]),
+        "params": finish(sums["params"], dtypes["params"]),
         "step": max(chosen),
-        "epoch": max(int(s.get("epoch", 0)) for s, _ in loaded),
+        "epoch": epoch,
     }
-    if all(s.get("ema") is not None for s, _ in loaded):
-        payload["ema"] = mean_trees([s["ema"] for s, _ in loaded])
-    val_losses = [float(m["val_loss"]) for _, m in loaded]
+    if have_ema and sums["ema"] is not None:
+        payload["ema"] = finish(sums["ema"], dtypes["ema"])
+    val_losses = [float(metas[s]["val_loss"]) for s in chosen]
     meta = {
         "val_loss": float(np.mean(val_losses)),
-        "config": loaded[0][1]["config"],
+        "config": metas[chosen[0]]["config"],
         "averaged_steps": chosen,
         "averaged_val_losses": val_losses,
     }

@@ -59,25 +59,31 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            from urllib.parse import parse_qs
+
             path, _, query = self.path.partition("?")
+            # always drain the body first: with HTTP/1.1 keep-alive, unread
+            # bytes would desynchronize the next request on the connection
+            n = int(self.headers.get("Content-Length", 0))
+            body_in = self.rfile.read(n) if n > 0 else b""
             if path != "/enhance":
                 return self._json(404, {"error": f"no route {path}"})
+            # validate the output subtype BEFORE spending device time
+            subtype = parse_qs(query).get("subtype", ["PCM_16"])[0]
+            if subtype not in ("PCM_16", "FLOAT"):
+                return self._json(
+                    400, {"error": f"subtype must be PCM_16 or FLOAT, "
+                                   f"got {subtype!r}"})
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                if n <= 0:
+                if not body_in:
                     return self._json(400, {"error": "empty body"})
-                wav, fs = audio_io.read_bytes(self.rfile.read(n))
+                wav, fs = audio_io.read_bytes(body_in)
             except Exception as e:
                 return self._json(400, {"error": f"undecodable audio: {e}"})
             try:
                 y = engine.enhance_sync(wav, fs, timeout=600.0)
             except Exception as e:
                 return self._json(500, {"error": str(e)})
-            subtype = "PCM_16"
-            for kv in query.split("&"):
-                k, _, v = kv.partition("=")
-                if k == "subtype" and v:
-                    subtype = v
             body = audio_io.write_bytes(y, fs, subtype=subtype)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")

@@ -488,3 +488,130 @@ def test_dispatch_watchdog_visible_in_snapshot():
         release.set()
         fut.result(timeout=5)
         assert eng.snapshot()["dispatch_in_flight_s"] == 0.0
+
+
+def test_cancelled_future_does_not_kill_worker():
+    """fut.cancel() on a queued request must drop it, not wedge the engine
+    (set_result on a cancelled Future raises InvalidStateError)."""
+    fake = FakeEnhance()
+    with BatchingEngine(fake, max_batch=4, max_wait_ms=10_000) as eng:
+        doomed = eng.submit(np.ones(100, np.float32), 8000)
+        assert doomed.cancel()
+        ok = eng.submit(2 * np.ones(100, np.float32), 8000)
+        # force the flush via a full batch (generous timeouts: first-use
+        # jax init on a loaded 1-CPU host can take several seconds)
+        more = [eng.submit(np.ones(100, np.float32), 8000) for _ in range(3)]
+        y = ok.result(timeout=60)
+        np.testing.assert_allclose(y, _norm(np.ones(100)), rtol=1e-6)
+        for f in more:
+            f.result(timeout=60)
+        # the worker survived; a fresh request still completes
+        assert eng.enhance_sync(np.ones(50, np.float32), 8000,
+                                timeout=60).shape == (50,)
+
+
+def test_long_form_does_not_starve_short_requests():
+    """FIFO by head age: an older short request dispatches before a newer
+    long-form one (and vice versa)."""
+    # both dispatch shapes are (1, 8000) (bucket padding == chunk size), so
+    # discriminate by lengths: the short batch carries [4000], streaming's
+    # full chunks carry None
+    order = []
+
+    def fake(wav, fs, key, lengths):
+        order.append(None if lengths is None
+                     else int(np.asarray(lengths)[0]))
+        return np.asarray(wav)
+
+    eng = BatchingEngine(fake, chunk_seconds=1.0, max_batch=8,
+                         normalize=False, autostart=False)
+    short = eng.submit(np.ones(4000, np.float32), 8000)   # older
+    time.sleep(0.01)
+    longf = eng.submit(np.ones(2 * 8000 + 5, np.float32), 8000)  # newer, long
+    assert eng.step() == 1 and order == [4000]          # short first
+    assert eng.step() == 1                              # then the long one
+    short.result(timeout=1), longf.result(timeout=1)
+
+    order.clear()
+    longf = eng.submit(np.ones(2 * 8000 + 5, np.float32), 8000)  # older, long
+    time.sleep(0.01)
+    short = eng.submit(np.ones(4000, np.float32), 8000)  # newer
+    assert eng.step() == 1 and order[0] is None         # long first (chunks)
+    assert eng.step() == 1 and order[-1] == 4000
+    short.result(timeout=1), longf.result(timeout=1)
+
+
+def test_http_bad_subtype_and_keepalive_after_404(tmp_path):
+    from serve import make_server
+    from urgent2026_challenge_track1_tpu.utils import audio_io
+
+    eng = BatchingEngine(FakeEnhance(), max_batch=4, max_wait_ms=10)
+    server = make_server(eng, "127.0.0.1", 0, platform="cpu")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        w = 0.2 * np.ones(3000, np.float32)
+        body = audio_io.write_bytes(w, 8000)
+
+        # invalid subtype -> clean 400 BEFORE any device work
+        conn.request("POST", "/enhance?subtype=PCM_24", body=body)
+        r = conn.getresponse()
+        assert r.status == 400 and b"subtype" in r.read()
+
+        # a 404 POST with a body must not desync the keep-alive connection
+        conn.request("POST", "/nope", body=body)
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()  # keep-alive: consume the 404 body before reusing
+
+        conn.request("POST", "/enhance", body=body)  # same connection
+        r = conn.getresponse()
+        assert r.status == 200
+        y, fs = audio_io.read_bytes(r.read())
+        assert fs == 8000 and y.shape == (3000,)
+    finally:
+        server.shutdown()
+        eng.close()
+
+
+def test_sharded_serving_fn_pads_batch_to_dp_multiple():
+    """B=1 (timer flushes, warmup, long-form chunks) must work on a dp>1
+    mesh: the wrapper pads rows to a dp multiple and slices back."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    import jax.numpy as jnp
+
+    from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+    from urgent2026_challenge_track1_tpu.parallel import make_mesh
+    from urgent2026_challenge_track1_tpu.serving import (
+        make_enhance_fn,
+        make_sharded_serving_fn,
+    )
+
+    cfg = M.BSRNNConfig(input_dim=481, num_channel=16, num_layer=2,
+                        causal=False)
+    stft_cfg = STFTConfig(n_fft=960, hop_length=480)
+    params = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh("dp=2,mp=4")
+    sharded = make_sharded_serving_fn("discriminative", params, cfg,
+                                      stft_cfg, mesh)
+    plain = make_enhance_fn("discriminative", params, cfg, stft_cfg)
+
+    rng = np.random.default_rng(9)
+    for B in (1, 3):  # both indivisible by dp=2
+        x = jnp.asarray(0.1 * rng.standard_normal((B, 8000))
+                        .astype(np.float32))
+        lens = jnp.asarray([8000] * B, np.int32)
+        got = np.asarray(sharded(x, 8000, jax.random.PRNGKey(0), lens))
+        ref = np.asarray(plain(x, 8000, jax.random.PRNGKey(0), lens))
+        assert got.shape == (B, 8000)
+        np.testing.assert_allclose(got, ref, atol=3e-5)
+    # lengths=None (full streaming chunk) also works at B=1
+    x = jnp.asarray(0.1 * rng.standard_normal((1, 8000)).astype(np.float32))
+    got = np.asarray(sharded(x, 8000, jax.random.PRNGKey(0), None))
+    assert got.shape == (1, 8000)

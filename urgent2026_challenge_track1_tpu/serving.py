@@ -86,6 +86,7 @@ def make_sharded_serving_fn(kind, params, model_cfg, stft_cfg, mesh,
     from urgent2026_challenge_track1_tpu.parallel import model_parallel as MP
 
     cache: dict = {}
+    dp = int(dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1))
 
     def enhance(wav, fs, key, lengths):
         import jax.numpy as jnp
@@ -100,11 +101,26 @@ def make_sharded_serving_fn(kind, params, model_cfg, stft_cfg, mesh,
                 cache[fs] = MP.make_sharded_flow_enhance(
                     mesh, model_cfg, fs, N=nfe, solver=solver, lengths=True
                 )
+        wav = jnp.asarray(wav)
+        B = wav.shape[0]
+        # jit in_shardings=P("dp") rejects batch dims not divisible by dp
+        # (so B=1 timer flushes, long-form chunks, and warmup would all
+        # crash); pad rows up to the next dp multiple and slice back
+        Bp = -(-B // dp) * dp
         if lengths is None:
-            lengths = jnp.full((wav.shape[0],), wav.shape[1], jnp.int32)
+            lengths = jnp.full((B,), wav.shape[1], jnp.int32)
+        if Bp != B:
+            wav = jnp.concatenate(
+                [wav, jnp.zeros((Bp - B, wav.shape[1]), wav.dtype)]
+            )
+            lengths = jnp.concatenate(
+                [lengths, jnp.full((Bp - B,), wav.shape[1], jnp.int32)]
+            )
         if kind == "discriminative":
-            return cache[fs](params, wav, lengths)
-        return cache[fs](params, key, wav, lengths)
+            out = cache[fs](params, wav, lengths)
+        else:
+            out = cache[fs](params, key, wav, lengths)
+        return out[:B]
 
     return enhance
 
@@ -279,18 +295,26 @@ class BatchingEngine:
         return sum(len(q) for q in self._queues.values()) + len(self._long)
 
     def _pick_locked(self, now: float, force: bool):
-        """Pop the most urgent dispatchable group (caller holds the lock)."""
-        if self._long:
-            return [self._long.popleft()]
-        # any full group flushes immediately
+        """Pop the most urgent dispatchable group (caller holds the lock).
+
+        Fairness is FIFO by head age across the long-form queue and the
+        batch groups: long-form work (which occupies the worker for many
+        seconds per item) must not starve short requests past their
+        max_wait bound, and vice versa.
+        """
+        long_t = self._long[0].t_submit if self._long else None
+        # a full group flushes immediately unless an older long-form
+        # request is ahead of it
         for key, q in self._queues.items():
-            if len(q) >= self.max_batch:
+            if len(q) >= self.max_batch and (long_t is None
+                                             or q[0].t_submit <= long_t):
                 return self._pop_locked(key)
-        # otherwise the group whose head has waited longest, if overdue
         oldest_key, oldest_t = None, None
         for key, q in self._queues.items():
             if q and (oldest_t is None or q[0].t_submit < oldest_t):
                 oldest_key, oldest_t = key, q[0].t_submit
+        if long_t is not None and (oldest_t is None or long_t <= oldest_t):
+            return [self._long.popleft()]
         if oldest_key is None:
             return None
         if force or now - oldest_t >= self.max_wait:
@@ -378,6 +402,12 @@ class BatchingEngine:
         return [out[j] for j in range(len(batch))]
 
     def _dispatch(self, batch):
+        # claim each future: a client-cancelled request is dropped here, and
+        # set_running_or_notify_cancel makes later set_result race-free
+        # (cancel() can no longer succeed once the future is RUNNING)
+        batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
+        if not batch:
+            return
         with self._lock:
             self._dispatch_started = time.monotonic()
         try:
