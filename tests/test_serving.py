@@ -615,3 +615,26 @@ def test_sharded_serving_fn_pads_batch_to_dp_multiple():
     x = jnp.asarray(0.1 * rng.standard_normal((1, 8000)).astype(np.float32))
     got = np.asarray(sharded(x, 8000, jax.random.PRNGKey(0), None))
     assert got.shape == (1, 8000)
+
+
+def test_engine_with_flow_model():
+    """The generative family through the engine: flowse_enhance consumes the
+    per-batch PRNG key and lengths via the same make_enhance_fn contract."""
+    import jax
+
+    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
+    from urgent2026_challenge_track1_tpu.serving import make_enhance_fn
+
+    fcfg = FM.FlowSEConfig(n_fft=960, hop_length=480, bsrnn_hidden=8,
+                           num_layer=1)
+    params = FM.init_flowse(jax.random.PRNGKey(0), fcfg)
+    enhance = make_enhance_fn("flowse", params, fcfg, fcfg.stft_cfg, nfe=2)
+    rng = np.random.default_rng(2)
+    with BatchingEngine(enhance, max_batch=2, max_wait_ms=20) as eng:
+        futs = [eng.submit(0.1 * rng.standard_normal(L), 8000)
+                for L in (6100, 8000)]
+        outs = [f.result(timeout=300) for f in futs]
+    for L, y in zip((6100, 8000), outs):
+        assert y.shape == (L,)
+        assert np.isfinite(y).all()
+        assert 0.85 <= np.abs(y).max() <= 0.901
