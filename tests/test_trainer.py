@@ -223,3 +223,55 @@ def test_plateau_resume_uses_latest_checkpoint(tmp_path):
     for step, vl in ((10, 0.5), (20, 0.7)):
         ref.save(step, st(step), vl, {})
     assert ref.latest_step() == 10
+
+
+def test_nan_step_is_a_true_skip():
+    """A NaN batch must not move params OR the optimizer state (the
+    reference's Lightning guard skips optimizer.step() entirely; zeroed
+    grads alone would still apply momentum + weight decay)."""
+    import jax.numpy as jnp
+
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+    from urgent2026_challenge_track1_tpu.train.trainer import (
+        build_model,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = Config(model_configs={"num_channel": 8, "num_layer": 1})
+    bundle = build_model(cfg)
+    params = M.init_bsrnn(jax.random.PRNGKey(0), bundle.model_cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(bundle, opt, cfg, 8000)
+    key = jax.random.PRNGKey(1)
+    B, T = 2, 8000
+    clean = jnp.zeros((B, T), jnp.float32) + 0.1
+    lengths = jnp.asarray([T, T], np.int32)
+
+    # one good step first so Adam moments are nonzero (the momentum that
+    # would leak through a fake skip)
+    noisy = clean + 0.01
+    p1, s1, _, m1 = step(params, opt_state, None, key, clean, noisy, lengths)
+    assert np.isfinite(float(m1["loss"]))
+
+    p1_copy = jax.tree.map(lambda x: np.asarray(x).copy(), p1)
+    s1_copy = jax.tree.map(lambda x: np.asarray(x).copy(), s1)
+
+    bad_noisy = noisy.at[0, 0].set(np.nan)
+    p2, s2, _, m2 = step(p1, s1, None, key, clean, bad_noisy, lengths)
+    assert float(m2["nan_grad"]) == 1.0
+    assert np.isfinite(float(m2["loss"]))  # NaN-loss fallback logs 0, not NaN
+    for a, b in zip(jax.tree.leaves(p1_copy), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s1_copy), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # and a following good step still trains
+    p3, s3, _, m3 = step(p2, s2, None, key, clean, noisy, lengths)
+    assert np.isfinite(float(m3["loss"]))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p1_copy), jax.tree.leaves(p3))
+    )
+    assert moved

@@ -112,6 +112,18 @@ class GroupedBatchSampler:
     of one sampling rate, sorted by source length, rank-sliced
     ``[rank::world_size]``, buckets of ``batch_size * bucket_size_mult``,
     shuffles (bucket order / in-bucket / batch order) seeded by epoch+rank.
+    The ``seed`` argument is accepted and checkpointed for reference API
+    parity but — like the reference, whose ``torch.Generator`` is seeded yet
+    never used (``dataset.py:347,370-374``) — does not affect the shuffle in
+    this mode.
+
+    ``spmd_rows=True`` is the multi-host SPMD mode (NOT reference behavior,
+    which is per-rank-independent DDP): every rank builds the IDENTICAL
+    global batch sequence (no rank slicing; shuffle seeded rank-invariantly
+    by ``seed + epoch``), so each training step has one agreed (fs, shape)
+    across processes — required by the single-program
+    ``make_array_from_process_local_data`` assembly (parallel/mesh.py).  The
+    per-rank rows of each global batch are selected by the loader.
     """
 
     def __init__(
@@ -123,6 +135,7 @@ class GroupedBatchSampler:
         seed: int = 0,
         drop_last: bool = False,
         bucket_size_mult: int = 100,
+        spmd_rows: bool = False,
     ):
         self.batch_size = batch_size
         self.drop_last = drop_last
@@ -131,6 +144,7 @@ class GroupedBatchSampler:
         self.rank = rank
         self.world_size = world_size
         self.seed = seed
+        self.spmd_rows = spmd_rows
 
         sr_groups = defaultdict(list)
         for idx, sr in enumerate(dataset.get_srs()):
@@ -141,7 +155,8 @@ class GroupedBatchSampler:
         self.buckets = []
         for sr, indices in sr_groups.items():
             sorted_indices = sorted(indices, key=lambda x: source_length[x])
-            sorted_indices = sorted_indices[self.rank :: self.world_size]
+            if not spmd_rows:
+                sorted_indices = sorted_indices[self.rank :: self.world_size]
             for i in range(0, len(sorted_indices), self.bucket_size):
                 self.buckets.append(sorted_indices[i : i + self.bucket_size])
 
@@ -149,7 +164,11 @@ class GroupedBatchSampler:
         self.epoch = epoch
 
     def __iter__(self) -> Iterator[list[int]]:
-        rng = random.Random(self.epoch + self.rank)
+        if self.spmd_rows:
+            # rank-invariant: all processes must agree on the sequence
+            rng = random.Random(self.seed + self.epoch)
+        else:
+            rng = random.Random(self.epoch + self.rank)
         buckets = [list(b) for b in self.buckets]
         rng.shuffle(buckets)
         all_batches = []
@@ -182,21 +201,26 @@ def bucket_length(T: int, fs: int, pad_quantum_ms: int = 1000) -> int:
     return -(-T // q) * q
 
 
-def collate_fn(batch, pad_quantum_ms: int = 1000):
+def collate_fn(batch, pad_quantum_ms: int = 1000, pad_to: int = 0):
     """Right-zero-pad to the batch bucket length; single fs per batch.
 
     Returns (clean (B,1,T), noisy (B,1,T), fs int, lengths (B,)) as numpy,
     matching the reference tuple (``dataset.py:404-441``) with the static
-    bucket padding described in the module docstring.
+    bucket padding described in the module docstring.  ``pad_to`` overrides
+    the local max length (multi-host SPMD: every process must pad its rows
+    of a global batch to the same global T).
     """
     srs = [item[2] for item in batch]
     assert all(sr == srs[0] for sr in srs), "mixed sampling rates in one batch"
     sr = int(srs[0])
-    max_length = max(item[0].shape[1] for item in batch)
+    max_length = max(max(item[0].shape[1] for item in batch), pad_to)
     T = bucket_length(max_length, sr, pad_quantum_ms)
 
     def pad(x):
-        x = np.asarray(x, np.float32)
+        # truncate-then-pad: a noisy file a few samples longer than its
+        # clean pair must not produce a negative pad width (the reference's
+        # torch F.pad truncates negative widths the same way)
+        x = np.asarray(x, np.float32)[:, :T]
         return np.pad(x, ((0, 0), (0, T - x.shape[1])))
 
     clean = np.stack([pad(item[0]) for item in batch])
@@ -205,12 +229,27 @@ def collate_fn(batch, pad_quantum_ms: int = 1000):
     return clean, noisy, sr, lengths
 
 
+class _LoaderError:
+    """Producer-thread failure forwarded through the prefetch queue (a dead
+    producer must surface its exception, not leave the consumer blocked)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchLoader:
     """Background-pool dataset loader with bounded batch prefetch.
 
     ``use_processes=True`` runs ``dataset.__getitem__`` in worker processes
     (the dynamic-mixing renderer is CPU-bound numpy/scipy and holds the GIL);
     plain file-reading datasets default to threads (IO releases the GIL).
+
+    ``row_slice=(rank, world)`` is the multi-host SPMD mode: the sampler
+    yields GLOBAL batches (identical on every process —
+    ``GroupedBatchSampler(spmd_rows=True)``); this loader fetches only rows
+    ``idxs[rank::world]`` and pads them to the GLOBAL batch length (computed
+    from the sampler's source-length table) so all processes produce
+    shape-identical per-host shards for ``make_array_from_process_local_data``.
     """
 
     def __init__(
@@ -222,6 +261,7 @@ class PrefetchLoader:
         prefetch: int = 4,
         use_processes: bool = False,
         collate=None,
+        row_slice=None,
     ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
@@ -230,6 +270,14 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.use_processes = use_processes
         self.collate = collate or collate_fn
+        self.row_slice = row_slice
+
+    def _global_pad_to(self, idxs) -> int:
+        """Max length over the FULL global batch (multi-host): the sampler's
+        length table is already post-crop (``get_source_length`` caps at
+        ``max_duration``, dataset.py:81-82)."""
+        lengths = self.batch_sampler._lengths
+        return max(int(lengths[i]) for i in idxs)
 
     def __len__(self):
         return len(self.batch_sampler)
@@ -260,36 +308,59 @@ class PrefetchLoader:
 
             submit = lambda pool, i: pool.submit(self.dataset.__getitem__, i)
 
+        def put_bounded(item) -> bool:
+            # bounded put that honors consumer shutdown (a plain q.put could
+            # block this daemon thread forever after the consumer exits,
+            # pinning the prefetched batches in memory)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             from collections import deque
 
-            with make_pool() as pool:
-                pending: deque = deque()
-                it = iter(batches)
-                exhausted = False
-                while not stop.is_set():
-                    while not exhausted and len(pending) < max(2, self.prefetch):
-                        try:
-                            idxs = next(it)
-                        except StopIteration:
-                            exhausted = True
-                            break
-                        pending.append([submit(pool, i) for i in idxs])
-                    if not pending:
-                        break
-                    items = [f.result() for f in pending.popleft()]
-                    batch = self.collate(items, self.pad_quantum_ms)
-                    # bounded put that honors consumer shutdown (a plain
-                    # q.put could block forever after the consumer exits)
+            try:
+                with make_pool() as pool:
+                    pending: deque = deque()
+                    it = iter(batches)
+                    exhausted = False
                     while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.5)
+                        while not exhausted and len(pending) < max(2, self.prefetch):
+                            try:
+                                idxs = next(it)
+                            except StopIteration:
+                                exhausted = True
+                                break
+                            if self.row_slice is not None:
+                                rank, world = self.row_slice
+                                local = idxs[rank::world]
+                                pending.append(
+                                    (self._global_pad_to(idxs),
+                                     [submit(pool, i) for i in local])
+                                )
+                            else:
+                                pending.append(
+                                    (0, [submit(pool, i) for i in idxs])
+                                )
+                        if not pending:
                             break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
-                        return
-            q.put(None)
+                        pad_to, futs = pending.popleft()
+                        items = [f.result() for f in futs]
+                        if pad_to:
+                            batch = self.collate(items, self.pad_quantum_ms,
+                                                 pad_to=pad_to)
+                        else:
+                            batch = self.collate(items, self.pad_quantum_ms)
+                        if not put_bounded(batch):
+                            return
+                put_bounded(None)
+            except BaseException as e:  # surface loader failures: a silently
+                # dead producer would otherwise hang the train loop forever
+                put_bounded(_LoaderError(e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -298,6 +369,10 @@ class PrefetchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _LoaderError):
+                    raise RuntimeError(
+                        "PrefetchLoader producer failed"
+                    ) from item.exc
                 yield item
         finally:
             stop.set()
@@ -310,6 +385,9 @@ class _SkipSampler:
     def __init__(self, sampler, skip: int):
         self.sampler = sampler
         self.skip = skip
+        # PrefetchLoader's multi-host global-pad path reads the wrapped
+        # sampler's source-length table
+        self._lengths = getattr(sampler, "_lengths", None)
 
     def __iter__(self):
         import itertools
@@ -386,13 +464,33 @@ class AudioDataModule:
         """``skip_batches`` fast-forwards the (deterministic, epoch-seeded)
         sampler on mid-epoch resume without paying the data-production cost
         of the skipped items (Lightning loop-state restore semantics,
-        reference train_se.py:67-72)."""
+        reference train_se.py:67-72).
+
+        Multi-host (``world_size > 1``) uses the SPMD row mode: a GLOBAL
+        batch of ``batch_size * world_size`` rows identical on every process
+        (same fs/shape sequence — the reference's per-rank-independent DDP
+        shuffle would deadlock the single-program collective assembly), each
+        host loading its ``[rank::world]`` rows padded to the global bucket.
+        Per-host rows stay ``batch_size``, preserving the reference's
+        effective global batch and LR semantics."""
+        spmd = world_size > 1
+        row_slice = None
+        if spmd:
+            if self.device_render:
+                raise NotImplementedError(
+                    "dynamic_mixing_on_device with multi-host training is "
+                    "not supported yet (the dict collate has no global-pad "
+                    "path); use host-side dynamic mixing"
+                )
+            row_slice = (rank, world_size)
         sampler = GroupedBatchSampler(
             self.train_dataset,
-            batch_size=self.batch_size,
+            batch_size=self.batch_size * world_size if spmd else self.batch_size,
             rank=rank,
             world_size=world_size,
             drop_last=True,
+            spmd_rows=spmd,
+            seed=getattr(self.config, "seed", 0),
         )
         sampler.set_epoch(epoch)
         if hasattr(self.train_dataset, "set_epoch"):
@@ -421,6 +519,7 @@ class AudioDataModule:
             self.pad_quantum_ms,
             use_processes=use_processes,
             collate=collate,
+            row_slice=row_slice,
         )
 
     def val_dataloader(self):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from functools import partial
@@ -203,8 +204,11 @@ def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int):
             params, bundle.model_cfg, bundle.stft_cfg, noisy, fs, lengths=lengths
         )
         loss = losses.multi_res_l1_spec_loss(clean, wav, lengths).mean()
-        # NaN-loss skip (d_model.py:75-77): zero the loss contribution
-        loss = jnp.where(jnp.isfinite(loss), loss, wav.mean() * 0.0)
+        # NaN-loss skip (d_model.py:75-77): zero the loss contribution.  A
+        # constant 0.0 fallback, NOT wav.mean()*0.0 — when wav itself holds
+        # the NaN, NaN*0.0 is NaN and the guard would be dead in exactly the
+        # case it targets (grads are additionally guarded downstream).
+        loss = jnp.where(jnp.isfinite(loss), loss, 0.0)
         sisnr = jax.lax.stop_gradient(losses.si_snr(clean, wav, lengths).mean())
         return loss, {"sisnr": sisnr}
 
@@ -217,7 +221,17 @@ def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int):
         )
         gnorm = _weighted_grad_norm(grads)
         grads, bad = _zero_nonfinite(grads)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        # TRUE skip semantics on a NaN-grad step (the reference's Lightning
+        # NaN guard skips optimizer.step() entirely): zeroed grads alone
+        # would still move params through Adam momentum + weight decay and
+        # advance the moments/count, so gate both the update and the state.
+        updates = jax.tree.map(
+            lambda u: jnp.where(bad, jnp.zeros_like(u), u), updates
+        )
+        opt_state = jax.tree.map(
+            lambda old, new: jnp.where(bad, old, new), opt_state, new_opt_state
+        )
         params = optax.apply_updates(params, updates)
         if ema_params is not None:
             ema_params = jax.tree.map(
@@ -374,7 +388,13 @@ class MetricsLogger:
 
     def log(self, step: int, metrics: dict):
         rec = {"step": step, "time": time.time()}
-        rec.update({k: float(v) for k, v in metrics.items()})
+        # RFC-JSON: inf/nan (e.g. val_loss=inf from an empty val pass, NaN
+        # grad_norm on a guarded step) would serialize as bare Infinity/NaN
+        # tokens that strict JSONL consumers (jq, pandas) reject
+        rec.update({
+            k: (float(v) if math.isfinite(float(v)) else None)
+            for k, v in metrics.items()
+        })
         self.jsonl.write(json.dumps(rec) + "\n")
         self.jsonl.flush()
         if self.tb is not None:
@@ -601,4 +621,8 @@ class Trainer:
                     self.ckpt.save(state.step, state, vm["val_loss"], cfg.to_dict())
             state.epoch = epoch + 1
             state.batch_in_epoch = 0
+        if profiling:
+            # a profile window overlapping the end of training would
+            # otherwise never be stopped and the trace would be lost
+            jax.profiler.stop_trace()
         return state
