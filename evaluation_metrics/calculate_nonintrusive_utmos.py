@@ -13,13 +13,29 @@ from urgent2026_challenge_track1_tpu.simulation.dsp import resample
 METRICS = ("UTMOS",)
 
 
+def load_predictor(args):
+    """utmos22_strong via torch.hub, or a TorchScript export for offline
+    deployments (--model_path; same forward(tensor, fs) contract)."""
+    import torch
+
+    if args.model_path:
+        try:
+            return torch.jit.load(args.model_path, map_location=args.device)
+        except Exception as e:
+            raise BackendUnavailable(
+                "UTMOS",
+                f"could not torch.jit.load('{args.model_path}') "
+                f"({type(e).__name__}: {e})",
+            ) from e
+    return load_torch_hub("tarepan/SpeechMOS:v1.2.0", "utmos22_strong", "UTMOS")
+
+
 def main(args):
     import torch
 
     pairs = read_pairs(args)
     pairs, suffix = shard(pairs, args)
-    predictor = load_torch_hub("tarepan/SpeechMOS:v1.2.0", "utmos22_strong", "UTMOS")
-    predictor = predictor.to(args.device).eval()
+    predictor = load_predictor(args).to(args.device).eval()
     ret = []
     for uid, path in pairs:
         audio, fs = audio_io.read(path)
@@ -33,7 +49,12 @@ def main(args):
 
 
 if __name__ == "__main__":
+    parser = base_parser()
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="TorchScript export of the UTMOS predictor "
+                             "(forward(wave_BxT, fs) -> score); bypasses "
+                             "torch.hub for offline deployments")
     try:
-        main(base_parser().parse_args())
+        main(parser.parse_args())
     except BackendUnavailable as e:
         exit_backend_unavailable(e)

@@ -34,12 +34,14 @@ def main(args):
     try:
         import transformers
 
-        processor = transformers.AutoProcessor.from_pretrained(MODEL_ID)
-        model = transformers.Wav2Vec2ForCTC.from_pretrained(MODEL_ID)
+        processor = transformers.AutoProcessor.from_pretrained(args.model_path)
+        model = transformers.Wav2Vec2ForCTC.from_pretrained(args.model_path)
     except Exception as e:
         raise BackendUnavailable(
             "LPS",
-            f"could not load {MODEL_ID} (needs HF cache/egress + espeak-ng)",
+            f"could not load '{args.model_path}' (needs an HF cache, egress + "
+            "espeak-ng, or a local --model_path directory saved via "
+            "save_pretrained)",
         ) from e
     model = model.to(args.device).eval()
     pairs = read_pairs(args, need_ref=True)
@@ -67,7 +69,11 @@ def main(args):
 
 
 if __name__ == "__main__":
+    parser = base_parser(need_ref=True)
+    parser.add_argument("--model_path", type=str, default=MODEL_ID,
+                        help="HF hub id or a local save_pretrained directory "
+                             "(offline deployments)")
     try:
-        main(base_parser(need_ref=True).parse_args())
+        main(parser.parse_args())
     except BackendUnavailable as e:
         exit_backend_unavailable(e)

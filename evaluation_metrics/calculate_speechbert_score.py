@@ -15,6 +15,7 @@ from urgent2026_challenge_track1_tpu.simulation.dsp import resample
 METRICS = ("SpeechBERTScore",)
 TARGET_FS = 16000
 LAYER = 8
+MODEL_ID = "utter-project/mHuBERT-147"
 
 
 def _features(model, audio, device):
@@ -37,11 +38,12 @@ def bert_score_precision(ref_feats, inf_feats):
 def main(args):
     try:
         import transformers
-        model = transformers.AutoModel.from_pretrained("utter-project/mHuBERT-147")
+        model = transformers.AutoModel.from_pretrained(args.model_path)
     except Exception as e:
         raise BackendUnavailable(
             "SpeechBERTScore",
-            "could not load utter-project/mHuBERT-147 (needs HF cache or egress)",
+            f"could not load '{args.model_path}' (needs an HF cache, egress, "
+            "or a local --model_path directory saved via save_pretrained)",
         ) from e
     model = model.to(args.device).eval()
     pairs = read_pairs(args, need_ref=True)
@@ -63,7 +65,11 @@ def main(args):
 
 
 if __name__ == "__main__":
+    parser = base_parser(need_ref=True)
+    parser.add_argument("--model_path", type=str, default=MODEL_ID,
+                        help="HF hub id or a local save_pretrained directory "
+                             "(offline deployments)")
     try:
-        main(base_parser(need_ref=True).parse_args())
+        main(parser.parse_args())
     except BackendUnavailable as e:
         exit_backend_unavailable(e)

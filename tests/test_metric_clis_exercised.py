@@ -1,0 +1,166 @@
+"""End-to-end exercising of the model-based metric CLIs with tiny LOCAL
+models (no egress): proves the full scoring path — audio read, resampling,
+model forward, native scoring math, scp/RESULTS.txt output — not just the
+BackendUnavailable gate that tests/test_metric_clis.py covers.
+
+The models are random-weight minimal configs of the REAL architectures the
+reference scores with (reference calculate_speechbert_score.py /
+calculate_phoneme_similarity.py / calculate_nonintrusive_utmos.py):
+HuBERT for SpeechBERTScore, wav2vec2-CTC for LPS, and a TorchScript module
+honoring the utmos22_strong forward(wave, fs) contract — loaded through the
+CLIs' offline --model_path deployment route.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+CONV = dict(conv_dim=(16,) * 7, conv_stride=(5, 2, 2, 2, 2, 2, 2),
+            conv_kernel=(10, 3, 3, 3, 3, 2, 2))
+
+
+def _run_cli(script, tmp_path, scps, extra):
+    cmd = [sys.executable, str(REPO / "evaluation_metrics" / script),
+           "--inf_scp", str(scps / "inf.scp"),
+           "--output_dir", str(tmp_path / "out")] + extra
+    # deliberate deviation from the repo PYTHONPATH rule: /root/.axon_site is
+    # EXCLUDED so the axon sitecustomize never pins the TPU backend — these
+    # CLIs must exercise genuine CPU-only behavior in the children; offline
+    # vars prove no hub traffic is needed for the --model_path route
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO),
+                       env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": str(REPO),
+                            "HF_HUB_OFFLINE": "1", "TRANSFORMERS_OFFLINE": "1"})
+    assert r.returncode == 0, (r.returncode, (r.stdout + r.stderr)[-3000:])
+    return tmp_path / "out"
+
+
+def _read_scp_scores(path):
+    out = {}
+    for line in path.read_text().splitlines():
+        uid, val = line.split()
+        out[uid] = float(val)
+    return out
+
+
+@pytest.fixture(scope="module")
+def scps(tmp_path_factory):
+    """u0: ref == inf (identical files); u1: inf = noisy ref, at 8 kHz so the
+    CLI-side resample-to-16k path runs too."""
+    tmp = tmp_path_factory.mktemp("clis_exercised")
+    from urgent2026_challenge_track1_tpu.utils import audio_io
+
+    rng = np.random.default_rng(0)
+    t0 = np.linspace(0, 0.6, int(0.6 * 16000), endpoint=False)
+    clean0 = (0.2 * np.sin(2 * np.pi * 220 * t0)).astype(np.float64)
+    audio_io.write(str(tmp / "u0.wav"), clean0, 16000)
+
+    t1 = np.linspace(0, 0.6, int(0.6 * 8000), endpoint=False)
+    clean1 = (0.2 * np.sin(2 * np.pi * 200 * t1)).astype(np.float64)
+    audio_io.write(str(tmp / "u1_ref.wav"), clean1, 8000)
+    audio_io.write(str(tmp / "u1_inf.wav"),
+                   clean1 + 0.1 * rng.standard_normal(clean1.shape), 8000)
+
+    (tmp / "inf.scp").write_text(
+        f"u0 {tmp / 'u0.wav'}\nu1 {tmp / 'u1_inf.wav'}\n")
+    (tmp / "ref.scp").write_text(
+        f"u0 {tmp / 'u0.wav'}\nu1 {tmp / 'u1_ref.wav'}\n")
+    return tmp
+
+
+def test_speechbert_score_end_to_end(scps, tmp_path):
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.HubertConfig(
+        hidden_size=32, num_hidden_layers=8, num_attention_heads=2,
+        intermediate_size=64, vocab_size=16, **CONV)
+    mdir = tmp_path / "hubert"
+    transformers.HubertModel(cfg).save_pretrained(mdir)
+
+    out = _run_cli("calculate_speechbert_score.py", tmp_path, scps,
+                   ["--ref_scp", str(scps / "ref.scp"),
+                    "--model_path", str(mdir)])
+    scores = _read_scp_scores(out / "SpeechBERTScore.scp")
+    assert set(scores) == {"u0", "u1"}
+    # identical ref/inf -> identical features -> max-sim precision exactly 1
+    assert scores["u0"] == pytest.approx(1.0, abs=1e-5)
+    assert -1.0 <= scores["u1"] <= 1.0 + 1e-6
+    assert (out / "RESULTS.txt").read_text().startswith("SpeechBERTScore:")
+
+
+def _save_tiny_w2v2_ctc(mdir):
+    import json
+    import torch
+    import transformers
+
+    vocab = {"<pad>": 0, "<unk>": 1, "|": 2, "a": 3, "b": 4, "k": 5,
+             "s": 6, "t": 7}
+    mdir.mkdir(parents=True, exist_ok=True)
+    vp = mdir / "vocab.json"
+    vp.write_text(json.dumps(vocab))
+    tok = transformers.Wav2Vec2CTCTokenizer(
+        str(vp), pad_token="<pad>", unk_token="<unk>",
+        word_delimiter_token="|")
+    fe = transformers.Wav2Vec2FeatureExtractor(
+        feature_size=1, sampling_rate=16000, padding_value=0.0,
+        do_normalize=True, return_attention_mask=False)
+    transformers.Wav2Vec2Processor(
+        feature_extractor=fe, tokenizer=tok).save_pretrained(mdir)
+    cfg = transformers.Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, vocab_size=len(vocab), **CONV)
+    # a seed whose random CTC argmax decodes NON-empty on the fixtures, so
+    # the similarity path (not the empty->NaN guard) is what runs; bias the
+    # head away from <pad> to keep that robust across transformers versions
+    for seed in range(8):
+        torch.manual_seed(seed)
+        model = transformers.Wav2Vec2ForCTC(cfg)
+        with torch.no_grad():
+            model.lm_head.bias[0] = -5.0
+        x = torch.linspace(-1, 1, 9600)[None]
+        ids = model(x).logits.argmax(-1)
+        if tok.batch_decode(ids)[0].replace(" ", ""):
+            model.save_pretrained(mdir)
+            return
+    raise AssertionError("no seed produced a non-empty CTC decode")
+
+
+def test_phoneme_similarity_end_to_end(scps, tmp_path):
+    mdir = tmp_path / "w2v2"
+    _save_tiny_w2v2_ctc(mdir)
+    out = _run_cli("calculate_phoneme_similarity.py", tmp_path, scps,
+                   ["--ref_scp", str(scps / "ref.scp"),
+                    "--model_path", str(mdir)])
+    scores = _read_scp_scores(out / "LPS.scp")
+    assert set(scores) == {"u0", "u1"}
+    # identical ref/inf -> identical phoneme strings -> Levenshtein sim 1.0
+    # (unless this model decodes u0 empty -> NaN guard; either is exercised,
+    # but the fixture seed search above makes 1.0 the expected branch)
+    assert scores["u0"] == pytest.approx(1.0) or np.isnan(scores["u0"])
+    assert np.isnan(scores["u1"]) or scores["u1"] <= 1.0
+    assert (out / "RESULTS.txt").read_text().startswith("LPS:")
+
+
+def test_utmos_torchscript_end_to_end(scps, tmp_path):
+    import torch
+
+    class TinyMOS(torch.nn.Module):
+        def forward(self, x: torch.Tensor, fs: int) -> torch.Tensor:
+            # deterministic audio-dependent pseudo-MOS in (1, 5)
+            return 1.0 + 4.0 * torch.sigmoid(10.0 * x.abs().mean(dim=1))
+
+    mpath = tmp_path / "tiny_utmos.pt"
+    torch.jit.script(TinyMOS()).save(str(mpath))
+    out = _run_cli("calculate_nonintrusive_utmos.py", tmp_path, scps,
+                   ["--model_path", str(mpath)])
+    scores = _read_scp_scores(out / "UTMOS.scp")
+    assert set(scores) == {"u0", "u1"}
+    assert all(1.0 < v < 5.0 for v in scores.values())
+    assert (out / "RESULTS.txt").read_text().startswith("UTMOS:")
