@@ -54,7 +54,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import re
 import sys
 from pathlib import Path
 
@@ -86,17 +85,9 @@ def _is_flow(sd) -> bool:
 def apply_ema(sd: dict, ema_state: dict) -> dict:
     """Overwrite trainable params with the EMA shadow params, mirroring the
     reference's eval-time ``ema.copy_to(self.parameters())``."""
-    shadow = ema_state["shadow_params"]
-    trainable = [k for k in sd if not re.fullmatch(r"dnn\.t_cond\.\d+\.W", k)]
-    if len(shadow) != len(trainable):
-        raise ValueError(
-            f"EMA shadow_params count {len(shadow)} != trainable param count "
-            f"{len(trainable)} — key-order assumption violated"
-        )
-    out = dict(sd)
-    for k, s in zip(trainable, shadow):
-        out[k] = s
-    return out
+    from urgent2026_challenge_track1_tpu.utils.convert import apply_ema_record
+
+    return apply_ema_record(sd, ema_state)
 
 
 def load_and_convert(ckpt_path: str, use_ema: bool = True):

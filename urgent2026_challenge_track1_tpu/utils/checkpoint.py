@@ -16,7 +16,7 @@ from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
 from urgent2026_challenge_track1_tpu.models import bsrnn as bsrnn_mod
 from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as flow_mod
 
-__all__ = ["load_model_for_inference"]
+__all__ = ["load_model_for_inference", "load_orbax_payload"]
 
 
 def _use_pallas() -> bool:
@@ -30,8 +30,12 @@ def _use_pallas() -> bool:
 def _from_torch(path: str):
     from urgent2026_challenge_track1_tpu.utils import convert
 
-    sd = convert.load_torch_state_dict(path)
+    sd, ckpt = convert.load_torch_checkpoint(path)
     if any(k.startswith("dnn.") for k in sd):
+        if "ema" in ckpt:
+            # the reference evaluates the flow model with its EMA weights
+            # (flow_model.py:98-112); match that at inference time
+            sd = convert.apply_ema_record(sd, ckpt["ema"])
         n = sd["dnn.condition_fc.bias"].shape[0]
         layers = len({k.split(".")[2] for k in sd if k.startswith("dnn.rnn_time.")})
         fcfg = flow_mod.FlowSEConfig(
@@ -56,7 +60,8 @@ def _from_torch(path: str):
     return "discriminative", params, mcfg, STFTConfig(n_fft=960, hop_length=480)
 
 
-def _from_orbax(path: str):
+def load_orbax_payload(path: str):
+    """Raw (payload, meta) from an orbax manager root or single step dir."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -74,13 +79,18 @@ def _from_orbax(path: str):
                 state=ocp.args.StandardRestore(), meta=ocp.args.JsonRestore()
             ),
         )
-        return _bundle_from_payload(restored["state"], restored["meta"])
+        return restored["state"], restored["meta"]
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(os.path.join(step_dir, "state"))
     import json
 
     with open(os.path.join(meta_path, "metadata"), "r") as f:  # orbax json layout
         meta = json.load(f)
+    return payload, meta
+
+
+def _from_orbax(path: str):
+    payload, meta = load_orbax_payload(path)
     return _bundle_from_payload(payload, meta)
 
 

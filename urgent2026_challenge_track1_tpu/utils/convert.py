@@ -194,13 +194,37 @@ def convert_flowse_state_dict(sd, template, cfg, prefix="dnn."):
     }
 
 
-def load_torch_state_dict(path: str):
+def apply_ema_record(sd: dict, ema_state: dict) -> dict:
+    """Overwrite trainable params with the torch_ema shadow params, mirroring
+    the reference's eval-time ``ema.copy_to(self.parameters())``
+    (flow_model.py:98-112).  ``shadow_params`` is ordered like
+    ``parameters()`` filtered to ``requires_grad`` — state-dict key order
+    minus the frozen ``dnn.t_cond.{i}.W`` buffers."""
+    import re
+
+    shadow = ema_state["shadow_params"]
+    trainable = [k for k in sd if not re.fullmatch(r"dnn\.t_cond\.\d+\.W", k)]
+    if len(shadow) != len(trainable):
+        raise ValueError(
+            f"EMA shadow_params count {len(shadow)} != trainable param count "
+            f"{len(trainable)} — key-order assumption violated"
+        )
+    out = dict(sd)
+    out.update(zip(trainable, shadow))
+    return out
+
+
+def load_torch_checkpoint(path: str):
+    """(state_dict, full checkpoint dict) from a torch/Lightning ckpt."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if "state_dict" in sd:
-        sd = sd["state_dict"]
-    return sd
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
+    return sd, ckpt
+
+
+def load_torch_state_dict(path: str):
+    return load_torch_checkpoint(path)[0]
 
 
 def load_init_from(path: str, template):
