@@ -37,6 +37,13 @@ def main(args):
         processor = transformers.AutoProcessor.from_pretrained(args.model_path)
         model = transformers.Wav2Vec2ForCTC.from_pretrained(args.model_path)
     except Exception as e:
+        if args.model_path != MODEL_ID:
+            # explicit local --model_path that fails to load is a real error,
+            # not an environment limitation — don't report it as SKIPPED
+            raise SystemExit(
+                f"ERROR: could not load '{args.model_path}' "
+                f"({type(e).__name__}: {e})"
+            ) from e
         raise BackendUnavailable(
             "LPS",
             f"could not load '{args.model_path}' (needs an HF cache, egress + "

@@ -40,6 +40,13 @@ def main(args):
         import transformers
         model = transformers.AutoModel.from_pretrained(args.model_path)
     except Exception as e:
+        if args.model_path != MODEL_ID:
+            # explicit local --model_path that fails to load is a real error,
+            # not an environment limitation — don't report it as SKIPPED
+            raise SystemExit(
+                f"ERROR: could not load '{args.model_path}' "
+                f"({type(e).__name__}: {e})"
+            ) from e
         raise BackendUnavailable(
             "SpeechBERTScore",
             f"could not load '{args.model_path}' (needs an HF cache, egress, "

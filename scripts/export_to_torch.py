@@ -49,6 +49,18 @@ def main(argv=None):
     bundle = build_model(cfg)
     export_cfg = (bundle.model_cfg.dnn_cfg if bundle.kind == "flowse"
                   else bundle.model_cfg)
+    # Lightning's load_from_checkpoint instantiates the reference model as
+    # cls(**hyper_parameters) with cfg attribute access (d_model.py:13-20,
+    # flow_model.py:18-60).  Our Config mirrors the reference field names, so
+    # a stdlib Namespace of the full config dict (picklable on any machine —
+    # no import of this repo needed at load time) satisfies both families;
+    # model_configs must be a concrete dict for BSRNN_SE(**model_configs).
+    hparams_cfg = dict(meta["config"])
+    if bundle.kind == "discriminative":
+        hparams_cfg["model_configs"] = {
+            "num_channel": bundle.model_cfg.num_channel,
+            "num_layer": bundle.model_cfg.num_layer,
+        }
     export_torch.save_lightning_ckpt(
         args.out,
         bundle.kind,
@@ -57,7 +69,7 @@ def main(argv=None):
         ema_params=payload.get("ema"),
         step=int(payload.get("step", 0)),
         epoch=int(payload.get("epoch", 0)),
-        hyper_parameters={"config": meta["config"]},
+        hyper_parameters={"cfg": argparse.Namespace(**hparams_cfg)},
     )
     import torch
 

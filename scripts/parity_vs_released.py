@@ -93,15 +93,13 @@ def apply_ema(sd: dict, ema_state: dict) -> dict:
 def load_and_convert(ckpt_path: str, use_ema: bool = True):
     """(kind, params, model_cfg, stft_cfg) from a released-layout ckpt."""
     import jax
-    import torch
 
     from urgent2026_challenge_track1_tpu.dsp.stft import STFTConfig
     from urgent2026_challenge_track1_tpu.models import bsrnn as M
     from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
     from urgent2026_challenge_track1_tpu.utils import convert
 
-    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("state_dict", ckpt)
+    sd, ckpt = convert.load_torch_checkpoint(ckpt_path)
     if _is_flow(sd):
         if use_ema and "ema" in ckpt:
             sd = apply_ema(sd, ckpt["ema"])

@@ -80,6 +80,10 @@ def test_flowse_export_oracle_parity_and_ema():
         "flowse", params, cfg, ema_params=ema, step=7, epoch=1)
     sd = ckpt["state_dict"]
     assert ckpt["global_step"] == 7
+    # Lightning migration requires the version key; torch_ema load_state_dict
+    # indexes collected_params unconditionally
+    assert "pytorch-lightning_version" in ckpt
+    assert ckpt["ema"]["collected_params"] is None
 
     tmodel = oracle.FlowBSRNN(
         input_dim=769, num_channel=8, num_layer=2, sub_channel=cfg.sub_channel)

@@ -148,6 +148,21 @@ def test_phoneme_similarity_end_to_end(scps, tmp_path):
     assert (out / "RESULTS.txt").read_text().startswith("LPS:")
 
 
+def test_bad_explicit_model_path_is_a_hard_error(scps, tmp_path):
+    """A typo'd --model_path must NOT exit with the SKIPPED code 86 (which
+    would make eval_all.sh silently drop the metric) — it is a user error."""
+    cmd = [sys.executable,
+           str(REPO / "evaluation_metrics" / "calculate_nonintrusive_utmos.py"),
+           "--inf_scp", str(scps / "inf.scp"),
+           "--output_dir", str(tmp_path / "out"),
+           "--model_path", str(tmp_path / "does_not_exist.pt")]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO),
+                       env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": str(REPO)})
+    assert r.returncode not in (0, 86), (r.returncode, r.stderr[-1000:])
+    assert "ERROR" in (r.stdout + r.stderr)
+
+
 def test_utmos_torchscript_end_to_end(scps, tmp_path):
     import torch
 

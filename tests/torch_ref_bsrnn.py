@@ -176,10 +176,13 @@ class GradDecoder(nn.Module):
         self.subbands = subbands
         self.freq_dim = freq_dim
         self.sub_channel = sub_channel
-        self.conv_after_mask = nn.Sequential(nn.Conv2d(sub_channel, 4, 5, 1, 2), nn.GLU(dim=1))
-        self.conv_after_residual = nn.Sequential(nn.Conv2d(sub_channel, 4, 5, 1, 2), nn.GLU(dim=1))
+        # registration ORDER matters (state-dict order drives the positional
+        # torch_ema shadow_params contract): the reference registers the mlp
+        # ModuleLists BEFORE conv_after_* (bsrnn_flowse.py:108-114)
         self.mlp_mask = nn.ModuleList()
         self.mlp_residual = nn.ModuleList()
+        self.conv_after_mask = nn.Sequential(nn.Conv2d(sub_channel, 4, 5, 1, 2), nn.GLU(dim=1))
+        self.conv_after_residual = nn.Sequential(nn.Conv2d(sub_channel, 4, 5, 1, 2), nn.GLU(dim=1))
         for sub in subbands:
             for head in (self.mlp_mask, self.mlp_residual):
                 head.append(

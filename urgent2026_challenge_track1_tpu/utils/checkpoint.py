@@ -70,9 +70,22 @@ def load_orbax_payload(path: str):
         step_dir = path
         meta_path = os.path.join(path, "meta")
     else:
-        mgr = ocp.CheckpointManager(path)
-        step = mgr.latest_step()
-        assert step is not None, f"no checkpoints under {path}"
+        # the trainer keeps a sibling "<root>_last" tree whose latest step can
+        # be NEWER than any retained top-k save (plateau garbage collection —
+        # see CheckpointIO); resume takes the max across both trees, so must we
+        roots = [path]
+        if not path.rstrip(os.sep).endswith("_last"):
+            last_root = path.rstrip(os.sep) + "_last"
+            if os.path.isdir(last_root):
+                roots.append(last_root)
+        best = None
+        for root in roots:
+            mgr = ocp.CheckpointManager(root)
+            step = mgr.latest_step()
+            if step is not None and (best is None or step > best[0]):
+                best = (step, mgr)
+        assert best is not None, f"no checkpoints under {' or '.join(roots)}"
+        step, mgr = best
         restored = mgr.restore(
             step,
             args=ocp.args.Composite(

@@ -169,12 +169,13 @@ def export_flowse_state_dict(params, cfg, prefix="dnn."):
         params["grad_decoder"]["residual"], subs, sc,
         f"{prefix}grad_decoder.mlp_residual",
         f"{prefix}grad_decoder.conv_after_residual")
-    # GradDecoder registers conv_after_mask, conv_after_residual BEFORE the
-    # mlp ModuleLists (bsrnn_flowse.py:179-191)
-    sd.update(m_conv)
-    sd.update(r_conv)
+    # GradDecoder registers the mlp ModuleLists BEFORE conv_after_mask /
+    # conv_after_residual (reference bsrnn_flowse.py:108-114) — this order is
+    # load-bearing for the positional ema.shadow_params record
     sd.update(m_mlp)
     sd.update(r_mlp)
+    sd.update(m_conv)
+    sd.update(r_conv)
     return sd
 
 
@@ -188,7 +189,9 @@ def _ema_record(sd_keys, ema_sd, decay=0.999, num_updates=0):
 
     shadow = [torch.from_numpy(np.ascontiguousarray(ema_sd[k]))
               for k in sd_keys if not re.fullmatch(r"dnn\.t_cond\.\d+\.W", k)]
-    return {"decay": decay, "num_updates": num_updates, "shadow_params": shadow}
+    # torch_ema's load_state_dict indexes "collected_params" unconditionally
+    return {"decay": decay, "num_updates": num_updates,
+            "shadow_params": shadow, "collected_params": None}
 
 
 def build_lightning_ckpt(kind, params, cfg, ema_params=None, step=0, epoch=0,
@@ -208,6 +211,9 @@ def build_lightning_ckpt(kind, params, cfg, ema_params=None, step=0, epoch=0,
         "hyper_parameters": hyper_parameters or {},
         "epoch": int(epoch),
         "global_step": int(step),
+        # Lightning's checkpoint migration requires this key before
+        # load_from_checkpoint will touch the file
+        "pytorch-lightning_version": "2.2.0",
     }
     if kind == "flowse" and ema_params is not None:
         ema_np = export_flowse_state_dict(ema_params, cfg)
