@@ -102,6 +102,23 @@ def load_hf_model(model_id: str, cls_name: str, metric: str):
         ) from e
 
 
+def load_torchscript(path: str, device: str = "cpu"):
+    """Offline TorchScript deployment route shared by the model-based CLIs:
+    ``--model_path`` points at a ``torch.jit`` export of the scoring model
+    (made once on a machine with egress via ``torch.jit.script``/``trace``).
+    An explicitly configured local export that fails to load is a USER error,
+    never a skipped backend — eval_all.sh must not silently drop the metric."""
+    import torch
+
+    try:
+        return torch.jit.load(path, map_location=device)
+    except Exception as e:
+        raise SystemExit(
+            f"ERROR: could not torch.jit.load('{path}') "
+            f"({type(e).__name__}: {e})"
+        ) from e
+
+
 def load_torch_hub(repo: str, entry: str, metric: str, **kwargs):
     try:
         import torch

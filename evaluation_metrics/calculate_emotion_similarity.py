@@ -24,8 +24,31 @@ def load_emotion2vec(device):
     return AutoModel(model="emotion2vec/emotion2vec_base", device=device)
 
 
-def main(args):
+def _make_embedder(args):
+    """(wave_16k: np.ndarray) -> utterance embedding; funasr emotion2vec by
+    default, or an offline TorchScript export via --model_path
+    (forward(wave_1xT @ 16 kHz) -> (1, D) or (D,) embedding)."""
+    if args.model_path:
+        import torch
+
+        from _backends import load_torchscript
+
+        predictor = load_torchscript(args.model_path, args.device).eval()
+
+        def embed(wave):
+            with torch.no_grad():
+                e = predictor(
+                    torch.from_numpy(np.asarray(wave, np.float32))[None])
+            return np.asarray(e).squeeze()
+
+        return embed
     model = load_emotion2vec(args.device)
+    return lambda wave: model.generate(
+        wave.astype(np.float32), granularity="utterance")[0]["feats"]
+
+
+def main(args):
+    embed = _make_embedder(args)
     pairs = read_pairs(args, need_ref=True)
     pairs, suffix = shard(pairs, args)
     ret = []
@@ -37,14 +60,18 @@ def main(args):
             ref = resample(ref[None], fs1, TARGET_FS, "soxr_hq")[0]
         if fs2 != TARGET_FS:
             inf = resample(inf[None], fs2, TARGET_FS, "soxr_hq")[0]
-        emb_ref = model.generate(ref.astype(np.float32), granularity="utterance")[0]["feats"]
-        emb_inf = model.generate(inf.astype(np.float32), granularity="utterance")[0]["feats"]
-        ret.append((uid, {"EmotionSimilarity": cosine_similarity(emb_ref, emb_inf)}))
+        ret.append((uid, {"EmotionSimilarity":
+                          cosine_similarity(embed(ref), embed(inf))}))
     write_results(args.output_dir, METRICS, ret, suffix)
 
 
 if __name__ == "__main__":
+    parser = base_parser(need_ref=True)
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="TorchScript export of an emotion embedder "
+                             "(forward(wave_1xT @ 16 kHz) -> embedding); "
+                             "bypasses funasr for offline deployments")
     try:
-        main(base_parser(need_ref=True).parse_args())
+        main(parser.parse_args())
     except BackendUnavailable as e:
         exit_backend_unavailable(e)

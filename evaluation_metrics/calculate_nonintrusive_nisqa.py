@@ -45,8 +45,23 @@ def load_nisqa(ckpt_path: str, device: str):
 def main(args):
     pairs = read_pairs(args)
     pairs, suffix = shard(pairs, args)
-    model = load_nisqa(args.nisqa_ckpt, args.device)
     ret = []
+    if args.model_path:
+        # offline TorchScript route: forward(wave_1xT, fs) -> MOS
+        import torch
+
+        from _backends import load_torchscript
+
+        predictor = load_torchscript(args.model_path, args.device).eval()
+        for uid, path in pairs:
+            audio, fs = audio_io.read(path)
+            with torch.no_grad():
+                score = predictor(
+                    torch.from_numpy(np.asarray(audio, np.float32))[None], fs)
+            ret.append((uid, {"NISQA_MOS": float(score.reshape(-1)[0])}))
+        write_results(args.output_dir, METRICS, ret, suffix)
+        return
+    model = load_nisqa(args.nisqa_ckpt, args.device)
     for uid, path in pairs:
         model.args["deg"] = path
         model._loadDatasetsFile()
@@ -58,6 +73,10 @@ def main(args):
 if __name__ == "__main__":
     parser = base_parser()
     parser.add_argument("--nisqa_ckpt", type=str, default="./NISQA/weights/nisqa.tar")
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="TorchScript export of a NISQA predictor "
+                             "(forward(wave_1xT, fs) -> MOS); bypasses the "
+                             "NISQA repo for offline deployments")
     try:
         main(parser.parse_args())
     except BackendUnavailable as e:

@@ -19,16 +19,9 @@ def load_predictor(args):
     import torch
 
     if args.model_path:
-        try:
-            return torch.jit.load(args.model_path, map_location=args.device)
-        except Exception as e:
-            # an explicitly configured local model that fails to load is a
-            # real error, not an environment limitation — never report it as
-            # SKIPPED or eval_all.sh would silently drop the metric
-            raise SystemExit(
-                f"ERROR: could not torch.jit.load('{args.model_path}') "
-                f"({type(e).__name__}: {e})"
-            ) from e
+        from _backends import load_torchscript
+
+        return load_torchscript(args.model_path, args.device)
     return load_torch_hub("tarepan/SpeechMOS:v1.2.0", "utmos22_strong", "UTMOS")
 
 

@@ -15,7 +15,24 @@ TARGET_FS = 16000
 MODEL_TAG = "espnet/voxcelebs12_rawnet3"
 
 
-def main(args):
+def _make_embedder(args):
+    """(wave_16k: np.ndarray) -> embedding; espnet RawNet3 by default, or an
+    offline TorchScript export via --model_path (forward(wave_1xT @ 16 kHz)
+    -> (1, D) or (D,) embedding)."""
+    if args.model_path:
+        import torch
+
+        from _backends import load_torchscript
+
+        predictor = load_torchscript(args.model_path, args.device).eval()
+
+        def embed(wave):
+            with torch.no_grad():
+                e = predictor(
+                    torch.from_numpy(np.asarray(wave, np.float32))[None])
+            return np.asarray(e).squeeze()
+
+        return embed
     try:
         from espnet2.bin.spk_inference import Speech2Embedding
     except ImportError as e:
@@ -23,6 +40,11 @@ def main(args):
             "SpeakerSimilarity", f"espnet is not installed (model: {MODEL_TAG})"
         ) from e
     model = Speech2Embedding.from_pretrained(model_tag=MODEL_TAG, device=args.device)
+    return lambda wave: np.asarray(model(wave).squeeze())
+
+
+def main(args):
+    embed = _make_embedder(args)
     pairs = read_pairs(args, need_ref=True)
     pairs, suffix = shard(pairs, args)
     ret = []
@@ -34,14 +56,18 @@ def main(args):
             ref = resample(ref[None], fs1, TARGET_FS, "soxr_hq")[0]
         if fs2 != TARGET_FS:
             inf = resample(inf[None], fs2, TARGET_FS, "soxr_hq")[0]
-        emb_ref = np.asarray(model(ref).squeeze())
-        emb_inf = np.asarray(model(inf).squeeze())
-        ret.append((uid, {"SpeakerSimilarity": cosine_similarity(emb_ref, emb_inf)}))
+        ret.append((uid, {"SpeakerSimilarity":
+                          cosine_similarity(embed(ref), embed(inf))}))
     write_results(args.output_dir, METRICS, ret, suffix)
 
 
 if __name__ == "__main__":
+    parser = base_parser(need_ref=True)
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="TorchScript export of a speaker embedder "
+                             "(forward(wave_1xT @ 16 kHz) -> embedding); "
+                             "bypasses espnet for offline deployments")
     try:
-        main(base_parser(need_ref=True).parse_args())
+        main(parser.parse_args())
     except BackendUnavailable as e:
         exit_backend_unavailable(e)

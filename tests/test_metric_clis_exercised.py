@@ -148,6 +148,78 @@ def test_phoneme_similarity_end_to_end(scps, tmp_path):
     assert (out / "RESULTS.txt").read_text().startswith("LPS:")
 
 
+def _scripted_mos_with_fs(tmp_path):
+    import torch
+
+    class TinyMOS(torch.nn.Module):
+        def forward(self, x: torch.Tensor, fs: int) -> torch.Tensor:
+            return 1.0 + 4.0 * torch.sigmoid(10.0 * x.abs().mean(dim=1))
+
+    p = tmp_path / "mos_fs.pt"
+    torch.jit.script(TinyMOS()).save(str(p))
+    return p
+
+
+def _scripted_mos(tmp_path):
+    import torch
+
+    class TinyMOS16k(torch.nn.Module):
+        def forward(self, x: torch.Tensor) -> torch.Tensor:
+            return 1.0 + 4.0 * torch.sigmoid(10.0 * x.abs().mean(dim=1))
+
+    p = tmp_path / "mos.pt"
+    torch.jit.script(TinyMOS16k()).save(str(p))
+    return p
+
+
+def _scripted_embedder(tmp_path):
+    import torch
+
+    class TinyEmbed(torch.nn.Module):
+        def forward(self, x: torch.Tensor) -> torch.Tensor:
+            # deterministic audio-dependent embedding: strided segment means
+            T = x.shape[1]
+            seg = T // 16
+            return x[:, : seg * 16].reshape(x.shape[0], 16, seg).mean(dim=2)
+
+    p = tmp_path / "embed.pt"
+    torch.jit.script(TinyEmbed()).save(str(p))
+    return p
+
+
+def test_nisqa_torchscript_end_to_end(scps, tmp_path):
+    out = _run_cli("calculate_nonintrusive_nisqa.py", tmp_path, scps,
+                   ["--model_path", str(_scripted_mos_with_fs(tmp_path))])
+    scores = _read_scp_scores(out / "NISQA_MOS.scp")
+    assert set(scores) == {"u0", "u1"}
+    assert all(1.0 < v < 5.0 for v in scores.values())
+    assert (out / "RESULTS.txt").read_text().startswith("NISQA_MOS:")
+
+
+def test_scoreq_torchscript_end_to_end(scps, tmp_path):
+    out = _run_cli("calculate_nonintrusive_scoreq.py", tmp_path, scps,
+                   ["--model_path", str(_scripted_mos(tmp_path))])
+    scores = _read_scp_scores(out / "SCOREQ.scp")
+    assert set(scores) == {"u0", "u1"}
+    assert all(1.0 < v < 5.0 for v in scores.values())
+
+
+@pytest.mark.parametrize("script,metric", [
+    ("calculate_speaker_similarity.py", "SpeakerSimilarity"),
+    ("calculate_emotion_similarity.py", "EmotionSimilarity"),
+])
+def test_embedding_similarity_torchscript_end_to_end(scps, tmp_path, script, metric):
+    out = _run_cli(script, tmp_path, scps,
+                   ["--ref_scp", str(scps / "ref.scp"),
+                    "--model_path", str(_scripted_embedder(tmp_path))])
+    scores = _read_scp_scores(out / f"{metric}.scp")
+    assert set(scores) == {"u0", "u1"}
+    # identical ref/inf -> identical embeddings -> cosine exactly 1
+    assert scores["u0"] == pytest.approx(1.0, abs=1e-6)
+    assert -1.0 <= scores["u1"] <= 1.0 + 1e-6
+    assert (out / "RESULTS.txt").read_text().startswith(f"{metric}:")
+
+
 def test_bad_explicit_model_path_is_a_hard_error(scps, tmp_path):
     """A typo'd --model_path must NOT exit with the SKIPPED code 86 (which
     would make eval_all.sh silently drop the metric) — it is a user error."""
