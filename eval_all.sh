@@ -23,6 +23,17 @@ meta_tsv=${meta_tsv:-}                      # optional: meta.tsv for get_breakdo
 nj=${nj:-8}
 device=${device:-cpu}  # jax picks TPU for the SE model; eval models run on cpu here
 
+# Offline model routes (see docs/MIGRATION.md): when set, each points at a
+# local export passed as --model_path so the metric runs without egress.
+# e.g. UTMOS_MODEL=/models/utmos22.pt NISQA_MODEL=/models/nisqa.pt ...
+utmos_model_args=${UTMOS_MODEL:+--model_path ${UTMOS_MODEL}}
+nisqa_model_args=${NISQA_MODEL:+--model_path ${NISQA_MODEL}}
+scoreq_model_args=${SCOREQ_MODEL:+--model_path ${SCOREQ_MODEL}}
+speechbert_model_args=${SPEECHBERT_MODEL:+--model_path ${SPEECHBERT_MODEL}}
+lps_model_args=${LPS_MODEL:+--model_path ${LPS_MODEL}}
+spk_model_args=${SPK_MODEL:+--model_path ${SPK_MODEL}}
+emo_model_args=${EMO_MODEL:+--model_path ${EMO_MODEL}}
+
 mkdir -p ${output_dir}
 
 produced=()
@@ -48,17 +59,17 @@ run_metric intrusive_se python evaluation_metrics/calculate_intrusive_se_metrics
 
 # Non-intrusive SE metrics
 run_metric dnsmos python evaluation_metrics/calculate_nonintrusive_dnsmos.py --inf_scp ${inf_scp} --output_dir ${output_dir}/score/dnsmos --device ${device} ${dnsmos_args:-}
-run_metric nisqa python evaluation_metrics/calculate_nonintrusive_nisqa.py --inf_scp ${inf_scp} --output_dir ${output_dir}/score/nisqa --device ${device}
-run_metric utmos python evaluation_metrics/calculate_nonintrusive_utmos.py --inf_scp ${inf_scp} --output_dir ${output_dir}/score/utmos --device ${device}
-run_metric scoreq python evaluation_metrics/calculate_nonintrusive_scoreq.py --inf_scp ${inf_scp} --output_dir ${output_dir}/score/scoreq
+run_metric nisqa python evaluation_metrics/calculate_nonintrusive_nisqa.py --inf_scp ${inf_scp} --output_dir ${output_dir}/score/nisqa --device ${device} ${nisqa_model_args:-}
+run_metric utmos python evaluation_metrics/calculate_nonintrusive_utmos.py --inf_scp ${inf_scp} --output_dir ${output_dir}/score/utmos --device ${device} ${utmos_model_args:-}
+run_metric scoreq python evaluation_metrics/calculate_nonintrusive_scoreq.py --inf_scp ${inf_scp} --output_dir ${output_dir}/score/scoreq ${scoreq_model_args:-}
 
 # Downstream-task-independent metrics
-run_metric speechbert_score python evaluation_metrics/calculate_speechbert_score.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/speechbert_score --device ${device}
-run_metric phoneme_similarity python evaluation_metrics/calculate_phoneme_similarity.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/lps --device ${device}
+run_metric speechbert_score python evaluation_metrics/calculate_speechbert_score.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/speechbert_score --device ${device} ${speechbert_model_args:-}
+run_metric phoneme_similarity python evaluation_metrics/calculate_phoneme_similarity.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/lps --device ${device} ${lps_model_args:-}
 
 # Downstream-task-dependent metrics
-run_metric speaker_similarity python evaluation_metrics/calculate_speaker_similarity.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/spk_sim --device ${device}
-run_metric emotion_similarity python evaluation_metrics/calculate_emotion_similarity.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/emo_sim --device ${device}
+run_metric speaker_similarity python evaluation_metrics/calculate_speaker_similarity.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/spk_sim --device ${device} ${spk_model_args:-}
+run_metric emotion_similarity python evaluation_metrics/calculate_emotion_similarity.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/emo_sim --device ${device} ${emo_model_args:-}
 run_metric lid_accuracy python evaluation_metrics/calculate_lid_accuracy.py --meta_tsv ${utt2lang} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/lid_acc --device ${device}
 run_metric wer python evaluation_metrics/calculate_wer.py --meta_tsv ${text} --utt2lang ${utt2lang} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/cer --device ${device}
 
