@@ -129,3 +129,18 @@ def test_flow_condition_variant_shapes():
     t = jnp.asarray([0.3, 0.9])
     out = FM.vector_field(params, cfg, x, t, x, fs)
     assert out.shape == (B, T, F)
+
+
+def test_masked_group_norm_zero_length_row_is_zero_not_nan():
+    """An all-masked row (zero-length padding item, e.g. a serving filler)
+    must come out as zeros: NaN*0 is NaN, so the primitive clamps its
+    denominator instead of relying on the final mask multiply."""
+    import jax.numpy as jnp
+    from urgent2026_challenge_track1_tpu.ops.norms import masked_group_norm
+
+    x = jnp.ones((2, 4, 3))
+    mask = jnp.stack([jnp.ones((4, 3)), jnp.zeros((4, 3))])
+    out = masked_group_norm(x, scale=jnp.ones(3), bias=jnp.zeros(3),
+                            mask=mask, axes=(1, 2))
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.abs(out[1]).max()) == 0.0

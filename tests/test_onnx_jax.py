@@ -397,3 +397,100 @@ def test_softmax_old_opset_2d_coercion():
     (y_new,) = onnx_jax.InferenceSession(onnx_lite.dumps(new), jit=False).run(None, {"x": x})
     e = np.exp(x)
     np.testing.assert_allclose(y_new, e / e.sum(-1, keepdims=True), rtol=1e-5)
+
+
+def test_shape_start_end_attrs():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    m = _model([("Shape", ["x"], ["s"], {"start": 1})], {}, ["x"], ["s"])
+    (s,) = _session(m).run(None, {"x": x})
+    np.testing.assert_array_equal(s, [3, 4])
+    m = _model([("Shape", ["x"], ["s"], {"end": -1})], {}, ["x"], ["s"])
+    (s,) = _session(m).run(None, {"x": x})
+    np.testing.assert_array_equal(s, [2, 3])
+
+
+def test_reduce_empty_axes_reduces_all():
+    """ONNX noop_with_empty_axes=0 (default): empty axes input = full
+    reduction; =1: identity."""
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    empty = np.array([], np.int64)
+    m = _model([("ReduceSum", ["x", "ax"], ["y"], {"keepdims": 0})],
+               {"ax": empty}, ["x"], ["y"])
+    (y,) = _session(m).run(None, {"x": x})
+    np.testing.assert_allclose(y, x.sum(), rtol=1e-6)
+    m = _model([("ReduceSum", ["x", "ax"], ["y"],
+                 {"keepdims": 0, "noop_with_empty_axes": 1})],
+               {"ax": empty}, ["x"], ["y"])
+    (y,) = _session(m).run(None, {"x": x})
+    np.testing.assert_allclose(y, x, rtol=1e-6)
+
+
+def test_reduceprod_numel_reshape_idiom():
+    """Shape -> ReduceProd -> Reshape (exporter numel computation)."""
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    m = _model(
+        [("Shape", ["x"], ["s"], {}),
+         ("ReduceProd", ["s"], ["n"], {"keepdims": 1}),
+         ("Reshape", ["x", "n"], ["y"], {})],
+        {}, ["x"], ["y"])
+    (y,) = _session(m).run(None, {"x": x})
+    np.testing.assert_allclose(y, x.reshape(-1), rtol=1e-6)
+
+
+def test_pad_negative_crop_wrap_and_axes():
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal((2, 5)).astype(np.float32)
+    # negative pads crop (opset>=11)
+    m = _model([("Pad", ["x", "p"], ["y"], {})],
+               {"p": np.array([0, -1, 0, -2], np.int64)}, ["x"], ["y"])
+    (y,) = _session(m).run(None, {"x": x})
+    np.testing.assert_allclose(y, x[:, 1:3], rtol=1e-6)
+    # wrap mode (opset>=19)
+    m = _model([("Pad", ["x", "p"], ["y"], {"mode": "wrap"})],
+               {"p": np.array([0, 2, 0, 0], np.int64)}, ["x"], ["y"])
+    (y,) = _session(m).run(None, {"x": x})
+    # ONNX pads layout: [x1_begin, x2_begin, x1_end, x2_end]
+    np.testing.assert_allclose(y, np.pad(x, ((0, 0), (2, 0)), mode="wrap"),
+                               rtol=1e-6)
+    # opset-18 axes input: pad only axis 1
+    m = _model([("Pad", ["x", "p", "", "ax"], ["y"], {})],
+               {"p": np.array([1, 2], np.int64),
+                "ax": np.array([1], np.int64)}, ["x"], ["y"])
+    (y,) = _session(m).run(None, {"x": x})
+    np.testing.assert_allclose(y, np.pad(x, ((0, 0), (1, 2))), rtol=1e-6)
+
+
+def test_rnn_rejects_semantics_changing_attrs():
+    """layout=1 / non-default activations / clip would change numerics
+    silently if ignored — they must raise instead."""
+    rng = np.random.default_rng(15)
+    T, B, I, H = 3, 1, 2, 2
+    x = rng.standard_normal((T, B, I)).astype(np.float32)
+    w = rng.standard_normal((1, 4 * H, I)).astype(np.float32)
+    r = rng.standard_normal((1, 4 * H, H)).astype(np.float32)
+    for attrs, msg in [
+        ({"hidden_size": H, "layout": 1}, "layout"),
+        ({"hidden_size": H, "clip": 3.0}, "clip"),
+        ({"hidden_size": H, "activations": ["Relu", "Tanh", "Tanh"]},
+         "activations"),
+    ]:
+        m = _model([("LSTM", ["x", "w", "r"], ["y"], attrs)],
+                   {"w": w, "r": r}, ["x"], ["y"])
+        with pytest.raises(ValueError, match=msg):
+            _session(m).run(None, {"x": x})
+    # default activations (case-insensitive) still pass
+    m = _model([("LSTM", ["x", "w", "r"], ["y"],
+                 {"hidden_size": H,
+                  "activations": ["Sigmoid", "Tanh", "Tanh"]})],
+               {"w": w, "r": r}, ["x"], ["y"])
+    _session(m).run(None, {"x": x})
+    wg = rng.standard_normal((1, 3 * H, I)).astype(np.float32)
+    rg = rng.standard_normal((1, 3 * H, H)).astype(np.float32)
+    m = _model([("GRU", ["x", "wg", "rg"], ["y"],
+                 {"hidden_size": H, "layout": 1})],
+               {"wg": wg, "rg": rg}, ["x"], ["y"])
+    with pytest.raises(ValueError, match="layout"):
+        _session(m).run(None, {"x": x})

@@ -105,7 +105,13 @@ def sidechain_compress(
     semantics, see csrc/dsp_native.cpp).  1-D float64 in, 1-D float64 out."""
     speech = np.ascontiguousarray(speech, np.float64)
     sidechain = np.ascontiguousarray(sidechain, np.float64)
-    assert speech.ndim == 1 and speech.shape == sidechain.shape
+    if speech.ndim != 1 or speech.shape != sidechain.shape:
+        # a raise (not assert) so the C kernel can never read past a shorter
+        # sidechain buffer under python -O
+        raise ValueError(
+            f"speech/sidechain must be equal-length 1-D arrays, got "
+            f"{speech.shape} vs {sidechain.shape}"
+        )
     lib = _load()
     if lib is None:
         return _sidechain_compress_numpy(

@@ -55,6 +55,10 @@ def masked_group_norm(
     """
     mask = mask.astype(x.dtype)
     denom = jnp.sum(mask * jnp.ones_like(x), axis=tuple(axes), keepdims=True)
+    # an all-masked row (zero-length padding item) must yield zeros, not NaN:
+    # NaN*0 is still NaN, so clamp the denominator rather than rely on the
+    # final * mask (callers pad batches with empty rows, e.g. serving filler)
+    denom = jnp.maximum(denom, 1.0)
     mean = jnp.sum(x * mask, axis=tuple(axes), keepdims=True) / denom
     var = jnp.sum(jnp.square(x - mean) * mask, axis=tuple(axes), keepdims=True) / denom
     return ((x - mean) / jnp.sqrt(var + eps) * scale + bias) * mask

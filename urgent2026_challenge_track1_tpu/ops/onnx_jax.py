@@ -188,12 +188,30 @@ def _op_slice(node, x, starts=None, ends=None, axes=None, steps=None):
     return x[tuple(idx)]
 
 
+def _check_rnn_attrs(node, name, default_acts):
+    """Reject semantics-changing RNN attributes we do not implement — running
+    past them would produce silently wrong numbers, not an error."""
+    if node.attrs.get("layout", 0) != 0:
+        raise ValueError(f"{name} layout=1 (batch-first) is not supported")
+    if node.attrs.get("clip") is not None:
+        raise ValueError(f"{name} cell clipping is not supported")
+    acts = node.attrs.get("activations")
+    if acts is not None:
+        acts = [a.lower() for a in acts]
+        num_dir = 2 if node.attrs.get("direction", "forward") == "bidirectional" else 1
+        if acts != default_acts * num_dir:
+            raise ValueError(
+                f"{name} non-default activations {acts} are not supported"
+            )
+
+
 def _op_lstm(node, x, w, r, b=None, seq_lens=None, h0=None, c0=None, p=None):
     """ONNX LSTM (iofc gate order), layout=0: x is (T, B, I)."""
     if seq_lens is not None:
         raise ValueError("LSTM sequence_lens input is not supported")
     if p is not None:
         raise ValueError("LSTM peephole weights are not supported")
+    _check_rnn_attrs(node, "LSTM", ["sigmoid", "tanh", "tanh"])
     hidden = node.attrs["hidden_size"]
     direction = node.attrs.get("direction", "forward")
     num_dir = 2 if direction == "bidirectional" else 1
@@ -238,6 +256,7 @@ def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
     """ONNX GRU (zrh gate order), layout=0: x is (T, B, I)."""
     if seq_lens is not None:
         raise ValueError("GRU sequence_lens input is not supported")
+    _check_rnn_attrs(node, "GRU", ["sigmoid", "tanh"])
     hidden = node.attrs["hidden_size"]
     direction = node.attrs.get("direction", "forward")
     lbr = node.attrs.get("linear_before_reset", 0)
@@ -284,17 +303,35 @@ def _op_gru(node, x, w, r, b=None, seq_lens=None, h0=None):
     return jnp.stack(outs, axis=1), jnp.stack(hts)
 
 
-def _op_pad(node, x, pads=None, value=None):
+def _op_pad(node, x, pads=None, value=None, axes=None):
     if pads is None:
         pads = node.attrs["pads"]
     pads = _static_ints(pads, "Pad")
     mode = node.attrs.get("mode", "constant")
     n = x.ndim
+    if axes is not None:
+        # opset-18: pads apply only to the listed axes, in order
+        ax = [a % n for a in _static_ints(axes, "Pad")]
+        full = [0] * (2 * n)
+        for i, a in enumerate(ax):
+            full[a] = pads[i]
+            full[n + a] = pads[len(ax) + i]
+        pads = full
     widths = list(zip(pads[:n], pads[n:]))
+    # negative pads crop (opset>=11)
+    if any(b < 0 or e < 0 for b, e in widths):
+        x = x[tuple(
+            slice(max(-b, 0), x.shape[d] + e if e < 0 else None)
+            for d, (b, e) in enumerate(widths)
+        )]
+        widths = [(max(b, 0), max(e, 0)) for b, e in widths]
     if mode == "constant":
         cv = 0.0 if value is None else float(np.asarray(value).reshape(-1)[0])
         return jnp.pad(x, widths, constant_values=cv)
-    return jnp.pad(x, widths, mode={"reflect": "reflect", "edge": "edge"}[mode])
+    jmode = {"reflect": "reflect", "edge": "edge", "wrap": "wrap"}.get(mode)
+    if jmode is None:
+        raise ValueError(f"Pad mode '{mode}' is not supported")
+    return jnp.pad(x, widths, mode=jmode)
 
 
 def _reduce(fn):
@@ -303,6 +340,12 @@ def _reduce(fn):
         if axes is not None:
             axes = tuple(_static_ints(axes, "Reduce"))
         keep = bool(node.attrs.get("keepdims", 1))
+        if axes is not None and len(axes) == 0:
+            # empty axes input: ONNX default (noop_with_empty_axes=0) reduces
+            # over ALL axes; the opt-in attribute makes it an identity
+            if node.attrs.get("noop_with_empty_axes", 0):
+                return x
+            axes = None
         return fn(x, axis=axes, keepdims=keep)
 
     return op
@@ -389,6 +432,7 @@ class OnnxGraphExecutor:
                 "ReduceSum",
                 "ReduceMax",
                 "ReduceMin",
+                "ReduceProd",
                 "LSTM",
                 "GRU",
                 "Pad",
@@ -494,8 +538,13 @@ class OnnxGraphExecutor:
             axes = node.attrs.get("axes")
             if axes is None and len(args) > 1 and args[1] is not None:
                 axes = _static_ints(args[1], "Reduce")
+            if axes is not None and len(tuple(axes)) == 0:
+                # same empty-axes semantics as the jnp _reduce path
+                if node.attrs.get("noop_with_empty_axes", 0):
+                    return a
+                axes = None
             return np_reduce[op](
-                a, axis=tuple(axes) if axes else None,
+                a, axis=tuple(axes) if axes is not None else None,
                 keepdims=bool(node.attrs.get("keepdims", 1)),
             )
         return None
@@ -587,7 +636,9 @@ class OnnxGraphExecutor:
                     return np.asarray(node.attrs[key])
             raise ValueError("Constant node without value")
         if op == "Shape":
-            return np.asarray(args[0].shape, np.int64)  # static under jit
+            shp = np.asarray(args[0].shape, np.int64)  # static under jit
+            # opset-15 start/end slice the shape vector (negatives wrap)
+            return shp[node.attrs.get("start", 0): node.attrs.get("end")]
         if op == "Cast":
             # numpy stays numpy (keeps Shape-derived values static), jnp stays jnp
             return args[0].astype(onnx_lite._DTYPES[node.attrs["to"]])
@@ -604,6 +655,8 @@ class OnnxGraphExecutor:
             return _reduce(jnp.max)(node, *args)
         if op == "ReduceMin":
             return _reduce(jnp.min)(node, *args)
+        if op == "ReduceProd":
+            return _reduce(jnp.prod)(node, *args)
         if op == "LSTM":
             return _op_lstm(node, *args)
         if op == "GRU":

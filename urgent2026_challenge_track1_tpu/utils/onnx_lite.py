@@ -410,6 +410,10 @@ def _encode_attr(name: str, value) -> bytes:
         for v in value:
             out += _tag(7, 5) + struct.pack("<f", v)
         out += _tag(20, 0) + _write_varint(_ATTR_FLOATS)
+    elif isinstance(value, (list, tuple)) and value and isinstance(value[0], str):
+        for v in value:
+            out += _ld(9, v.encode())
+        out += _tag(20, 0) + _write_varint(_ATTR_STRINGS)
     elif isinstance(value, (list, tuple)):
         for v in value:
             out += _tag(8, 0) + _write_varint(int(v))
