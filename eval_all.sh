@@ -33,6 +33,8 @@ speechbert_model_args=${SPEECHBERT_MODEL:+--model_path ${SPEECHBERT_MODEL}}
 lps_model_args=${LPS_MODEL:+--model_path ${LPS_MODEL}}
 spk_model_args=${SPK_MODEL:+--model_path ${SPK_MODEL}}
 emo_model_args=${EMO_MODEL:+--model_path ${EMO_MODEL}}
+wer_model_args=${WER_MODEL:+--model_path ${WER_MODEL}}
+lid_model_args=${LID_MODEL:+--model_path ${LID_MODEL}}
 
 mkdir -p ${output_dir}
 
@@ -70,8 +72,8 @@ run_metric phoneme_similarity python evaluation_metrics/calculate_phoneme_simila
 # Downstream-task-dependent metrics
 run_metric speaker_similarity python evaluation_metrics/calculate_speaker_similarity.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/spk_sim --device ${device} ${spk_model_args:-}
 run_metric emotion_similarity python evaluation_metrics/calculate_emotion_similarity.py --ref_scp ${ref_scp} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/emo_sim --device ${device} ${emo_model_args:-}
-run_metric lid_accuracy python evaluation_metrics/calculate_lid_accuracy.py --meta_tsv ${utt2lang} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/lid_acc --device ${device}
-run_metric wer python evaluation_metrics/calculate_wer.py --meta_tsv ${text} --utt2lang ${utt2lang} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/cer --device ${device}
+run_metric lid_accuracy python evaluation_metrics/calculate_lid_accuracy.py --meta_tsv ${utt2lang} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/lid_acc --device ${device} ${lid_model_args}
+run_metric wer python evaluation_metrics/calculate_wer.py --meta_tsv ${text} --utt2lang ${utt2lang} --inf_scp ${inf_scp} --output_dir ${output_dir}/score/cer --device ${device} ${wer_model_args}
 
 # Grouped breakdown over whatever was produced (needs the simulation
 # meta.tsv).  One malformed scp must not abort the suite after every metric

@@ -134,6 +134,40 @@ def load_torch_hub(repo: str, entry: str, metric: str, **kwargs):
         ) from e
 
 
+class ScriptedSpeech2Text:
+    """Offline ASR route for the OWSM-backed CLIs (WER/CER, LID): wraps a
+    TorchScript export in the espnet ``Speech2Text`` call surface those CLIs
+    drive (reference calculate_wer.py / calculate_lid_accuracy.py use
+    espnet's hub models; an air-gapped deployment points ``--model_path`` at
+    any scripted ASR honoring this contract instead).
+
+    Contract of the export: ``forward(wave_T: float32 Tensor, lang_sym: str,
+    task_sym: str) -> str`` — the transcript of one <=30 s window (may carry
+    ``<12.34>``-style timestamps for long-form decoding; for LID the first
+    whitespace token must be the language tag, e.g. ``<eng>``).
+
+    ``beam_search.beam_size`` / ``maxlenratio`` assignments are accepted and
+    ignored — a scripted export has its search baked in.
+    """
+
+    def __init__(self, module, device: str = "cpu"):
+        import types
+
+        self._m = module.to(device).eval()
+        self._device = device
+        self.beam_search = types.SimpleNamespace(beam_size=None)
+        self.maxlenratio = None
+
+    def __call__(self, speech, prev=None, lang_sym="<nolang>", task_sym="<asr>"):
+        import torch
+
+        x = torch.from_numpy(np.ascontiguousarray(speech, np.float32))
+        with torch.no_grad():
+            text = str(self._m(x.to(self._device), lang_sym, task_sym))
+        # espnet-shaped n-best entry: text at [-2], tokens at [1]
+        return [(text, text.split() or [""], text, None)]
+
+
 def load_espnet_model(tag: str, metric: str, **kwargs):
     try:
         import espnet2  # noqa: F401

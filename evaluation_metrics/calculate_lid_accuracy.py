@@ -14,16 +14,29 @@ TARGET_FS = 16000
 MODEL_TAG = "espnet/owsm_ctc_v4_1B"
 
 
-def main(args):
+def load_model(args):
+    """OWSM-CTC via espnet, or a TorchScript export for offline deployments
+    (--model_path; forward(wave_T, lang_sym, task_sym) -> str whose first
+    token is the language tag, see _backends.ScriptedSpeech2Text)."""
+    if args.model_path:
+        from _backends import ScriptedSpeech2Text, load_torchscript
+
+        return ScriptedSpeech2Text(
+            load_torchscript(args.model_path, args.device), args.device
+        )
     try:
         from espnet2.bin.s2t_ctc_inference import Speech2TextGreedySearch
     except ImportError as e:
         raise BackendUnavailable(
             "LIDAccuracy", f"espnet is not installed (model: {MODEL_TAG})"
         ) from e
-    model = Speech2TextGreedySearch.from_pretrained(
+    return Speech2TextGreedySearch.from_pretrained(
         model_tag=MODEL_TAG, device=args.device, lang_sym="<nolang>", task_sym="<asr>"
     )
+
+
+def main(args):
+    model = load_model(args)
 
     labels = {}
     with open(args.meta_tsv, "r") as f:
@@ -52,7 +65,13 @@ def main(args):
 
 
 if __name__ == "__main__":
+    parser = base_parser(need_meta=True)
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="TorchScript export (forward(wave_T, lang_sym, "
+                             "task_sym) -> str whose first token is the "
+                             "language tag, e.g. '<eng>'); bypasses the "
+                             "espnet hub model for offline deployments")
     try:
-        main(base_parser(need_meta=True).parse_args())
+        main(parser.parse_args())
     except BackendUnavailable as e:
         exit_backend_unavailable(e)

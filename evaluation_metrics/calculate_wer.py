@@ -186,14 +186,32 @@ def levenshtein_metric(model, ref_txt, inf, lang_id, fs=16000):
     return dict(WER=ret_wer, CER=ret_cer)
 
 
-def main(args):
+def load_model(args):
+    """espnet OWSM v3.1 ebf, or a TorchScript ASR export for offline
+    deployments (--model_path; forward(wave_T, lang_sym, task_sym) -> str,
+    see _backends.ScriptedSpeech2Text)."""
+    if args.model_path:
+        from _backends import ScriptedSpeech2Text, load_torchscript
+
+        return ScriptedSpeech2Text(
+            load_torchscript(args.model_path, args.device), args.device
+        )
     try:
         from espnet2.bin.s2t_inference import Speech2Text
     except ImportError as e:
         raise BackendUnavailable(
             "WER", "espnet is not installed (model: espnet/owsm_v3.1_ebf)"
         ) from e
+    return Speech2Text.from_pretrained(
+        model_tag="espnet/owsm_v3.1_ebf",
+        device=args.device,
+        task_sym="<asr>",
+        beam_size=BEAMSIZE,
+        predict_time=False,
+    )
 
+
+def main(args):
     transcripts = {}
     language_id = {}
     with open(args.meta_tsv, "r") as f:
@@ -213,13 +231,7 @@ def main(args):
             pairs.append((uid, transcripts[uid], path, language_id[uid]))
     pairs, suffix = shard(pairs, args)
 
-    model = Speech2Text.from_pretrained(
-        model_tag="espnet/owsm_v3.1_ebf",
-        device=args.device,
-        task_sym="<asr>",
-        beam_size=BEAMSIZE,
-        predict_time=False,
-    )
+    model = load_model(args)
 
     outdir = Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -238,6 +250,11 @@ def main(args):
 if __name__ == "__main__":
     parser = base_parser(need_meta=True)
     parser.add_argument("--utt2lang", type=str, required=True)
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="TorchScript ASR export (forward(wave_T, "
+                             "lang_sym, task_sym) -> transcript str); "
+                             "bypasses the espnet hub model for offline "
+                             "deployments")
     try:
         main(parser.parse_args())
     except BackendUnavailable as e:

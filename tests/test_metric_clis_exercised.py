@@ -235,6 +235,98 @@ def test_bad_explicit_model_path_is_a_hard_error(scps, tmp_path):
     assert "ERROR" in (r.stdout + r.stderr)
 
 
+def _scripted_asr(tmp_path):
+    import torch
+
+    class TinyASR(torch.nn.Module):
+        """ScriptedSpeech2Text contract: transcript of one <=30 s window.
+        Language-conditioned output proves the per-utterance lang_sym from
+        utt2lang threads through the CLI into the model call."""
+
+        def forward(self, x: torch.Tensor, lang_sym: str, task_sym: str) -> str:
+            if lang_sym == "<deu>":
+                return "die katze sass"
+            return "the cat sat"
+
+    p = tmp_path / "asr.pt"
+    torch.jit.script(TinyASR()).save(str(p))
+    return p
+
+
+def test_wer_torchscript_end_to_end(scps, tmp_path):
+    import json
+
+    text = tmp_path / "text"
+    # u0 matches the stub's <eng> output exactly; u1 (lang deu) matches the
+    # <deu> output except one word -> replace=1
+    text.write_text("u0 the cat sat\nu1 die katze sitzt\n")
+    utt2lang = tmp_path / "utt2lang"
+    utt2lang.write_text("u0 eng\nu1 deu\n")
+    out = _run_cli("calculate_wer.py", tmp_path, scps,
+                   ["--meta_tsv", str(text), "--utt2lang", str(utt2lang),
+                    "--model_path", str(_scripted_asr(tmp_path))])
+    for metric in ("WER", "CER"):
+        lines = dict(
+            l.split(maxsplit=1)
+            for l in (out / f"{metric}.scp").read_text().splitlines()
+        )
+        assert set(lines) == {"u0", "u1"}
+    wer = {u: json.loads(s) for u, s in (
+        l.split(maxsplit=1)
+        for l in (out / "WER.scp").read_text().splitlines())}
+    assert wer["u0"]["equal"] == 3 and wer["u0"]["replace"] == 0
+    assert wer["u0"]["insert"] == 0 and wer["u0"]["delete"] == 0
+    assert wer["u1"]["replace"] == 1 and wer["u1"]["equal"] == 2
+    assert wer["u1"]["hyp_text"] == "die katze sass"
+
+
+def test_wer_long_form_torchscript_end_to_end(tmp_path):
+    """A >30 s input routes through decode_long via the scripted adapter:
+    two windows, whisper-style timestamp lines, normalizer quirk (timestamp
+    digits survive as tokens) — the accounting asserts inside the CLI hold."""
+    import json
+
+    from urgent2026_challenge_track1_tpu.utils import audio_io
+
+    t = np.linspace(0, 31.0, int(31.0 * 16000), endpoint=False)
+    audio_io.write(str(tmp_path / "long.wav"),
+                   (0.1 * np.sin(2 * np.pi * 150 * t)), 16000)
+    scp = tmp_path / "inf.scp"
+    scp.write_text(f"u0 {tmp_path / 'long.wav'}\n")
+    (tmp_path / "text").write_text("u0 the cat sat the cat sat\n")
+    (tmp_path / "utt2lang").write_text("u0 eng\n")
+
+    scps = tmp_path  # _run_cli only uses scps / "inf.scp"
+    out = _run_cli("calculate_wer.py", tmp_path, scps,
+                   ["--meta_tsv", str(tmp_path / "text"),
+                    "--utt2lang", str(tmp_path / "utt2lang"),
+                    "--model_path", str(_scripted_asr(tmp_path))])
+    wer = json.loads((out / "WER.scp").read_text().split(maxsplit=1)[1])
+    # both windows decoded and concatenated
+    assert wer["hyp_text"].count("the cat sat") == 2
+    # all 6 reference words found in order despite the timestamp tokens
+    assert wer["equal"] == 6 and wer["replace"] == 0 and wer["delete"] == 0
+
+
+def test_lid_torchscript_end_to_end(scps, tmp_path):
+    import torch
+
+    class TinyLID(torch.nn.Module):
+        def forward(self, x: torch.Tensor, lang_sym: str, task_sym: str) -> str:
+            return "<eng> some transcript"
+
+    mpath = tmp_path / "lid.pt"
+    torch.jit.script(TinyLID()).save(str(mpath))
+    utt2lang = tmp_path / "utt2lang_lid"
+    utt2lang.write_text("u0 eng\nu1 deu\n")
+    out = _run_cli("calculate_lid_accuracy.py", tmp_path, scps,
+                   ["--meta_tsv", str(utt2lang),
+                    "--model_path", str(mpath)])
+    scores = _read_scp_scores(out / "LIDAccuracy.scp")
+    assert scores == {"u0": 1.0, "u1": 0.0}
+    assert (out / "RESULTS.txt").read_text().startswith("LIDAccuracy: 0.5")
+
+
 def test_utmos_torchscript_end_to_end(scps, tmp_path):
     import torch
 

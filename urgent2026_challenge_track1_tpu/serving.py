@@ -22,6 +22,7 @@ a ten-minute file never forces a giant padded batch.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from collections import OrderedDict, deque
@@ -32,6 +33,21 @@ from typing import Callable, Optional
 import numpy as np
 
 __all__ = ["BatchingEngine", "make_enhance_fn", "make_sharded_serving_fn"]
+
+
+def _enable_persistent_compile_cache():
+    """Same policy as Trainer.__init__: repeat CLI runs / daemon restarts
+    skip the multi-minute per-(fs, bucket) compiles on remote TPU backends."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
 
 def make_enhance_fn(kind, params, model_cfg, stft_cfg, nfe: int = 15,
@@ -45,6 +61,8 @@ def make_enhance_fn(kind, params, model_cfg, stft_cfg, nfe: int = 15,
     ``key`` is ignored by the discriminative path.
     """
     import jax
+
+    _enable_persistent_compile_cache()
 
     from urgent2026_challenge_track1_tpu.models import bsrnn as bsrnn_mod
     from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as flow_mod
@@ -85,6 +103,7 @@ def make_sharded_serving_fn(kind, params, model_cfg, stft_cfg, mesh,
     """
     from urgent2026_challenge_track1_tpu.parallel import model_parallel as MP
 
+    _enable_persistent_compile_cache()
     cache: dict = {}
     dp = int(dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1))
 
