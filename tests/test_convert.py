@@ -227,6 +227,34 @@ def test_discriminative_full_forward_matches_torch(fs, F):
     np.testing.assert_allclose(out.imag, ref_out.imag, atol=2e-4)
 
 
+def test_discriminative_causal_full_forward_matches_torch():
+    """causal=True (espnet BSRNNSeparator option): unidirectional time LSTM,
+    fc_time in hdim; GroupNorm stays whole-sequence exactly as in espnet
+    (the 'causal' flag there only affects the recurrence)."""
+    from tests.torch_ref_bsrnn import DiscriminativeBSRNN
+
+    torch.manual_seed(13)
+    tm = DiscriminativeBSRNN(
+        input_dim=481, num_channel=16, num_layer=2, causal=True
+    ).eval()
+    sd = {f"se_model.bsrnn.bsrnn.{k}": v for k, v in tm.state_dict().items()}
+
+    cfg = M.BSRNNConfig(input_dim=481, num_channel=16, num_layer=2, causal=True)
+    template = M.init_bsrnn(jax.random.PRNGKey(0), cfg)
+    params = convert.convert_discriminative_state_dict(sd, template, cfg)
+
+    spec = _rand_spec(17, 2, 7, 161)
+    with torch.no_grad():
+        ref_out = tm(torch.view_as_complex(
+            torch.from_numpy(
+                np.stack([np.asarray(spec.real), np.asarray(spec.imag)], -1)
+            )
+        ), 16000).numpy()
+    out = np.asarray(M.bsrnn_apply(params, spec, cfg, 16000))
+    np.testing.assert_allclose(out.real, ref_out.real, atol=2e-4)
+    np.testing.assert_allclose(out.imag, ref_out.imag, atol=2e-4)
+
+
 @pytest.mark.parametrize("fs,F", [(8000, 129), (16000, 257), (48000, 769)])
 def test_flowse_full_forward_matches_torch(fs, F):
     """fs=16000 is the band-overhang case: the last used band spans past
