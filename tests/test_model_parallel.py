@@ -87,3 +87,81 @@ def test_sharded_flow_enhance_matches_single_device():
     got = fn(params, key, noisy)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
     assert len(got.sharding.device_set) >= 2
+
+
+def test_mp_train_step_matches_single_device():
+    """Model-parallel TRAINING: one optimizer step over the dp x mp mesh
+    (constrain threaded through make_train_step) produces the same loss and
+    updated params as the unsharded step — GSPMD shards the forward AND
+    backward activations while params/grads stay replicated."""
+    from urgent2026_challenge_track1_tpu.config import Config
+    from urgent2026_challenge_track1_tpu.parallel import replicated, shard_batch
+    from urgent2026_challenge_track1_tpu.train import trainer as TR
+
+    mesh = _mesh()
+    cfg = Config()
+    bundle = TR.ModelBundle("discriminative", CFG, STFT)
+    opt = TR.make_optimizer(cfg)
+    params = M.init_bsrnn(jax.random.PRNGKey(5), CFG)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(6)
+    clean = 0.1 * RNG.standard_normal((2, FS)).astype(np.float32)
+    noisy = clean + 0.02 * RNG.standard_normal((2, FS)).astype(np.float32)
+    lens = np.asarray([FS, FS - 777], np.int32)
+
+    def fresh(tree):
+        # real copies: the steps donate their params/opt buffers, and
+        # jnp.asarray would alias (donation then deletes the shared array)
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+    step_ref = TR.make_train_step(bundle, opt, cfg, FS)
+    p1, o1, _, m1 = step_ref(fresh(params), fresh(opt_state), None, key,
+                             jnp.asarray(clean), jnp.asarray(noisy),
+                             jnp.asarray(lens))
+
+    rep = replicated(mesh)
+    step_mp = TR.make_train_step(bundle, opt, cfg, FS,
+                                 constrain=row_constrainer(mesh))
+    batch = shard_batch(mesh, (clean, noisy, lens))
+    p2, o2, _, m2 = step_mp(jax.device_put(fresh(params), rep),
+                            jax.device_put(fresh(opt_state), rep),
+                            None, key, *batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        p1, p2,
+    )
+
+
+def test_mp_flowse_val_step_matches_single_device():
+    """flowse_loss with the constrain hook (mp mesh) equals the unsharded
+    loss — same key => same (t, noise) draws, so the comparison is exact up
+    to resharding roundoff."""
+    from urgent2026_challenge_track1_tpu.config import Config
+    from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
+    from urgent2026_challenge_track1_tpu.parallel import replicated, shard_batch
+    from urgent2026_challenge_track1_tpu.train import trainer as TR
+
+    mesh = _mesh()
+    cfg = Config()
+    fcfg = FM.FlowSEConfig(n_fft=960, hop_length=480, bsrnn_hidden=8,
+                           num_layer=1)
+    bundle = TR.ModelBundle("flowse", fcfg, fcfg.stft_cfg)
+    params = FM.init_flowse(jax.random.PRNGKey(7), fcfg)
+    key = jax.random.PRNGKey(8)
+    clean = 0.1 * RNG.standard_normal((2, FS)).astype(np.float32)
+    noisy = clean + 0.02 * RNG.standard_normal((2, FS)).astype(np.float32)
+    lens = np.asarray([FS, FS - 400], np.int32)
+
+    ref = TR.make_val_step(bundle, cfg, FS)(
+        params, key, jnp.asarray(clean), jnp.asarray(noisy), jnp.asarray(lens)
+    )
+    batch = shard_batch(mesh, (clean, noisy, lens))
+    got = TR.make_val_step(bundle, cfg, FS, constrain=row_constrainer(mesh))(
+        jax.device_put(params, replicated(mesh)), key, *batch
+    )
+    np.testing.assert_allclose(float(ref["loss"]), float(got["loss"]),
+                               rtol=1e-5)

@@ -275,3 +275,25 @@ def test_nan_step_is_a_true_skip():
         for a, b in zip(jax.tree.leaves(p1_copy), jax.tree.leaves(p3))
     )
     assert moved
+
+
+def test_fit_on_mp_mesh(toy_dirs, tmp_path, monkeypatch):
+    """End-to-end Trainer.fit over a dp=2,mp=4 mesh: the mp constrain hook
+    threads into every train/val step and the run completes finite (the
+    step-level numerical parity is pinned in tests/test_model_parallel.py)."""
+    monkeypatch.chdir(tmp_path)
+    import json
+
+    from urgent2026_challenge_track1_tpu.data import AudioDataModule
+    from urgent2026_challenge_track1_tpu.train.trainer import Trainer
+
+    cfg = _cfg(toy_dirs, tmp_path, mesh_shape="dp=2,mp=4",
+               train_tag="test_run_mp")
+    trainer = Trainer(cfg, AudioDataModule(cfg))
+    assert trainer._constrain is not None
+    state = trainer.fit()
+    assert state.step == 4
+    with open(os.path.join(trainer.exp_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    losses = [r["train_loss"] for r in rows if "train_loss" in r]
+    assert losses and all(np.isfinite(v) for v in losses)

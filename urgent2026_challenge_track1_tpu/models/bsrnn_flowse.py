@@ -218,7 +218,7 @@ def vector_field(params, cfg: FlowSEConfig, x, t, y, fs: int, frames=None,
 
 def flowse_loss(
     params, cfg: FlowSEConfig, key, clean, noisy, fs: int, lengths=None,
-    noise=None, t=None,
+    noise=None, t=None, constrain=None,
 ):
     """Conditional-flow-matching loss (flow_model.py:149-187).  (B,T) wavs.
 
@@ -254,7 +254,7 @@ def flowse_loss(
     if lengths is not None:
         n_fft, _, hop = cfg.stft_cfg.geometry(fs)
         frames, _ = B.frame_validity(lengths, x0.shape[1], n_fft, hop)
-    vf = vector_field(params, cfg, xt, t, y, fs, frames)
+    vf = vector_field(params, cfg, xt, t, y, fs, frames, constrain)
     err = vf - cond_vf
     if cfg.loss_type == "mse":
         losses = jnp.square(jnp.abs(err))

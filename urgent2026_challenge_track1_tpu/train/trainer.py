@@ -187,21 +187,30 @@ def _zero_nonfinite(grads):
 # ---------------------------------------------------------------------------
 
 
-def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int):
+def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int,
+                    constrain=None):
     """Returns jitted (params, opt_state, ema, key, clean, noisy, lengths)
     -> updated + metrics.  All loss/metric statistics are length-masked so
     the static bucket padding never leaks into the numerics (reference
-    computes on exact batch-max-length signals, d_model.py:61-89)."""
+    computes on exact batch-max-length signals, d_model.py:61-89).
+
+    ``constrain`` (parallel.model_parallel.row_constrainer) shards the
+    dual-path recurrence rows over a dp x mp mesh for model-parallel
+    training — activations (the ~14 GB @ B=2 bottleneck,
+    conf/models/BSRNN_baseline.yaml:11) split across chips while params
+    stay replicated; the backward pass inherits the same shardings."""
     ema_decay = cfg.ema_decay
 
     def loss_and_metrics(params, key, clean, noisy, lengths):
         if bundle.kind == "flowse":
             loss = flow_mod.flowse_loss(
-                params, bundle.model_cfg, key, clean, noisy, fs, lengths=lengths
+                params, bundle.model_cfg, key, clean, noisy, fs,
+                lengths=lengths, constrain=constrain,
             )
             return loss, {}
         wav, _ = bsrnn_mod.bsrnn_se_apply(
-            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs, lengths=lengths
+            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs,
+            lengths=lengths, constrain=constrain,
         )
         loss = losses.multi_res_l1_spec_loss(clean, wav, lengths).mean()
         # NaN-loss skip (d_model.py:75-77): zero the loss contribution.  A
@@ -243,16 +252,18 @@ def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int):
     return step
 
 
-def make_val_step(bundle: ModelBundle, cfg: Config, fs: int):
+def make_val_step(bundle: ModelBundle, cfg: Config, fs: int, constrain=None):
     @jax.jit
     def step(params, key, clean, noisy, lengths):
         if bundle.kind == "flowse":
             loss = flow_mod.flowse_loss(
-                params, bundle.model_cfg, key, clean, noisy, fs, lengths=lengths
+                params, bundle.model_cfg, key, clean, noisy, fs,
+                lengths=lengths, constrain=constrain,
             )
             return {"loss": loss}
         wav, _ = bsrnn_mod.bsrnn_se_apply(
-            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs, lengths=lengths
+            params, bundle.model_cfg, bundle.stft_cfg, noisy, fs,
+            lengths=lengths, constrain=constrain,
         )
         loss = losses.multi_res_l1_spec_loss(clean, wav, lengths).mean()
         sisnr = losses.si_snr(clean, wav, lengths).mean()
@@ -443,6 +454,33 @@ class Trainer:
         self.dm = datamodule
         self.bundle = build_model(cfg)
         self.mesh = make_mesh(cfg.mesh_shape)
+        # model-parallel training (mesh_shape="dp=2,mp=4"): shard the
+        # dual-path recurrence rows over dp x mp so activation memory (the
+        # reference's ~14 GB @ batch 2) splits across chips.  The sharded
+        # program uses the XLA scan recurrence — a Pallas kernel inside a
+        # GSPMD-partitioned program would need a manual shard_map wrapper
+        # (parallel/model_parallel.py docstring).
+        self._constrain = None
+        mesh_axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        if mesh_axes.get("mp", 1) > 1:
+            from urgent2026_challenge_track1_tpu.parallel.model_parallel import (
+                row_constrainer,
+            )
+
+            self._constrain = row_constrainer(self.mesh)
+            if getattr(self.bundle.model_cfg, "use_pallas_lstm", False):
+                import warnings
+
+                warnings.warn(
+                    "mp>1 mesh: forcing use_pallas_lstm=False (scan "
+                    "recurrence) for the GSPMD-partitioned train step"
+                )
+                self.bundle = dataclasses.replace(
+                    self.bundle,
+                    model_cfg=dataclasses.replace(
+                        self.bundle.model_cfg, use_pallas_lstm=False
+                    ),
+                )
         self.optimizer = make_optimizer(cfg)
         self.exp_dir = os.path.join(
             "exp", cfg.train_tag, cfg.train_name, f"version_{cfg.train_version}"
@@ -496,13 +534,16 @@ class Trainer:
     def _get_train_step(self, fs: int):
         if fs not in self._train_steps:
             self._train_steps[fs] = make_train_step(
-                self.bundle, self.optimizer, self.cfg, fs
+                self.bundle, self.optimizer, self.cfg, fs,
+                constrain=self._constrain,
             )
         return self._train_steps[fs]
 
     def _get_val_step(self, fs: int):
         if fs not in self._val_steps:
-            self._val_steps[fs] = make_val_step(self.bundle, self.cfg, fs)
+            self._val_steps[fs] = make_val_step(
+                self.bundle, self.cfg, fs, constrain=self._constrain
+            )
         return self._val_steps[fs]
 
     def _set_lr(self, state: TrainState, epoch: int):
