@@ -6,3 +6,6 @@ from urgent2026_challenge_track1_tpu.models.bsrnn import (  # noqa: F401
     bsrnn_se_apply,
     init_bsrnn,
 )
+from urgent2026_challenge_track1_tpu.models.streaming_causal import (  # noqa: F401
+    StreamingSession,
+)

@@ -40,7 +40,11 @@ import numpy as np
 
 from urgent2026_challenge_track1_tpu.dsp import stft as _stft
 from urgent2026_challenge_track1_tpu.ops import lstm as lstm_ops
-from urgent2026_challenge_track1_tpu.ops.norms import group_norm, masked_group_norm
+from urgent2026_challenge_track1_tpu.ops.norms import (
+    cumulative_group_norm,
+    group_norm,
+    masked_group_norm,
+)
 
 __all__ = [
     "BSRNNConfig",
@@ -101,6 +105,12 @@ class BSRNNConfig:
     num_layer: int = 6
     target_fs: int = 48000
     causal: bool = False          # False -> bidirectional time LSTM
+    streaming_norm: bool = False  # causal (cumulative) GroupNorm statistics:
+    #                               with causal=True the whole model becomes
+    #                               streamable with bounded carried state
+    #                               (models/streaming_causal.py); the
+    #                               reference's GN-over-full-T is non-causal
+    #                               even with causal LSTMs
     norm_eps: float = 1e-8        # espnet choose_norm GN eps
     with_condition: bool = False  # flow-matching: second band split + t-emb
     sub_channel: int = 16         # GradDecoder intermediate channels (flow)
@@ -280,26 +290,47 @@ def init_bsrnn(key, cfg: BSRNNConfig):
 
 
 def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps,
-                      fm: Optional[jnp.ndarray] = None):
+                      fm: Optional[jnp.ndarray] = None, nstate=None,
+                      return_state: bool = False):
     """(B, T, F) complex -> (B, T, K, N).  ``fm`` (B, T): valid-frame mask —
     when given, padded frames are excluded from the norm statistics (the
-    reference normalizes exact-length signals)."""
+    reference normalizes exact-length signals).
+
+    With ``cfg.streaming_norm`` the per-band norm is cumulative over frames
+    (causal); ``nstate``/``return_state`` carry its running sums across
+    chunks (streaming), and ``fm`` is unnecessary — end-padding cannot leak
+    backward into valid frames' statistics."""
     B, T, F = spec.shape
     gather, chan_mask, _ = _band_maps(cfg.subbands, F, n_bands)
     x2 = jnp.stack([spec.real, spec.imag], axis=-1).reshape(B, T, 2 * F)
     x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, 1)))  # zero slot
     blocks = x2[..., jnp.asarray(gather)]  # (B, T, K, W)
-    mask = jnp.asarray(chan_mask)[None, None]  # (1, 1, K, W)
-    if fm is not None:
-        mask = mask * fm[:, :, None, None]
-    h = masked_group_norm(
-        blocks,
-        p["norm_scale"][:n_bands][None, None],
-        p["norm_bias"][:n_bands][None, None],
-        mask,
-        axes=(1, 3),
-        eps=eps,
-    )
+    ns = None
+    if cfg.streaming_norm:
+        h = cumulative_group_norm(
+            blocks,
+            p["norm_scale"][:n_bands][None, None],
+            p["norm_bias"][:n_bands][None, None],
+            axes=(3,),
+            eps=eps,
+            mask=jnp.asarray(chan_mask)[None, None],
+            state=nstate,
+            return_state=return_state,
+        )
+        if nstate is not None or return_state:
+            h, ns = h
+    else:
+        mask = jnp.asarray(chan_mask)[None, None]  # (1, 1, K, W)
+        if fm is not None:
+            mask = mask * fm[:, :, None, None]
+        h = masked_group_norm(
+            blocks,
+            p["norm_scale"][:n_bands][None, None],
+            p["norm_bias"][:n_bands][None, None],
+            mask,
+            axes=(1, 3),
+            eps=eps,
+        )
     cdtype = jnp.dtype(cfg.compute_dtype)
     z = jnp.einsum(
         "btkw,kwc->btkc",
@@ -307,12 +338,16 @@ def _band_split_apply(p, spec: jnp.ndarray, cfg: BSRNNConfig, n_bands: int, eps,
         p["w"][:n_bands].astype(cdtype),
         preferred_element_type=jnp.float32,
     )
-    return z + p["b"][:n_bands][None, None]
+    z = z + p["b"][:n_bands][None, None]
+    if nstate is not None or return_state:
+        return z, ns
+    return z
 
 
 def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
                      frames: Optional[jnp.ndarray] = None,
                      fm: Optional[jnp.ndarray] = None,
+                     lstate=None,
                      constrain=None):
     """One dual-path block on (B, T, K, N).  Norms and the residual stream
     stay float32; the LSTM/linear matmuls run in cfg.compute_dtype.
@@ -327,12 +362,26 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
     with_sharding_constraint that shards the independent recurrence rows
     (B*K time rows / B*T band rows) over the mesh, so GSPMD splits each
     recurrence across chips and inserts the resharding collectives between
-    the two paths (see that module for the design)."""
+    the two paths (see that module for the design).
+
+    ``lstate``: streaming carry (norm running sums + time-LSTM (h, c)) —
+    requires ``cfg.causal`` and ``cfg.streaming_norm``; the layer then
+    returns ``(z, new_lstate)`` and chaining chunks equals one full pass."""
     B, T, K, N = z.shape
     cdtype = jnp.dtype(cfg.compute_dtype)
     fm4 = None if fm is None else fm[:, :, None, None]
+    want_state = lstate is not None
+    new_state = {}
     # --- time path ---
-    if fm4 is None:
+    if cfg.streaming_norm:
+        out = cumulative_group_norm(
+            z, layer["norm_time_scale"], layer["norm_time_bias"], axes=(2, 3),
+            eps=eps, state=lstate["norm_time"] if want_state else None,
+            return_state=want_state,
+        )
+        if want_state:
+            out, new_state["norm_time"] = out
+    elif fm4 is None:
         out = group_norm(
             z, layer["norm_time_scale"], layer["norm_time_bias"], axes=(1, 2, 3), eps=eps
         )
@@ -352,7 +401,13 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
         #                               reshape below carries it to the rows
     seq = out.transpose(0, 2, 1, 3).reshape(B * K, T, N).astype(cdtype)
     if cfg.causal:
-        h = lstm_ops.lstm(layer["rnn_time"], seq)
+        if want_state:
+            h, new_state["rnn_time"] = lstm_ops.lstm(
+                layer["rnn_time"], seq, initial_state=lstate["rnn_time"],
+                return_state=True,
+            )
+        else:
+            h = lstm_ops.lstm(layer["rnn_time"], seq)
     elif frames is not None:
         h = lstm_ops.bilstm_masked(
             layer["rnn_time"], seq, jnp.repeat(frames, K),
@@ -369,7 +424,15 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
     z = z + h.reshape(B, K, T, N).transpose(0, 2, 1, 3)
     # --- band path --- (the band recurrence runs over K per frame: padded
     # frames are independent batch rows there and cannot leak into valid ones)
-    if fm4 is None:
+    if cfg.streaming_norm:
+        out = cumulative_group_norm(
+            z, layer["norm_freq_scale"], layer["norm_freq_bias"], axes=(2, 3),
+            eps=eps, state=lstate["norm_freq"] if want_state else None,
+            return_state=want_state,
+        )
+        if want_state:
+            out, new_state["norm_freq"] = out
+    elif fm4 is None:
         out = group_norm(
             z, layer["norm_freq_scale"], layer["norm_freq_bias"], axes=(1, 2, 3), eps=eps
         )
@@ -390,17 +453,30 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
     h = jnp.dot(h, layer["fc_freq_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_freq_b"]
     z = z + h.reshape(B, T, K, N)
+    if want_state:
+        return z, new_state
     return z
 
 
 def _run_layers(params, z, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
                 frames: Optional[jnp.ndarray] = None,
                 fm: Optional[jnp.ndarray] = None,
-                constrain=None):
+                constrain=None,
+                states=None):
     layer_fn = _dual_path_layer
     if constrain is not None:
         # bind the (non-jax-type) sharding hook before the checkpoint wrap
         layer_fn = functools.partial(layer_fn, constrain=constrain)
+    if states is not None:
+        # streaming: thread each layer's carry (norm sums + LSTM state)
+        # through the same stacked-layer scan; returns the updated stack
+        def body_s(carry, xs):
+            layer, lstate = xs
+            z2, ns = layer_fn(carry, layer, cfg, t, eps, frames, fm, lstate)
+            return z2, ns
+
+        z, new_states = jax.lax.scan(body_s, z, (params["layers"], states))
+        return z, new_states
     if cfg.remat:
         # recompute layer activations in the backward pass: training the
         # reference geometry (B=4, 2 s @48 kHz) otherwise exceeds one chip's
@@ -415,22 +491,34 @@ def _run_layers(params, z, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
 
 
 def _mask_decoder_head(p, z, cfg: BSRNNConfig, n_bands: int, n_bins: int, eps,
-                       fm: Optional[jnp.ndarray] = None):
+                       fm: Optional[jnp.ndarray] = None, nstate=None,
+                       return_state: bool = False):
     """(B, T, K, N) -> (B, T, n_bins) complex (one head: mask or residual)."""
     B, T, K, N = z.shape
     _, chan_mask, flat_valid = _band_maps(cfg.subbands, n_bins, n_bands)
     # per-band GroupNorm(1, C) over (C, T): stats per (batch, band)
-    h = z
-    if fm is None:
-        mean = jnp.mean(h, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(h - mean), axis=(1, 3), keepdims=True)
+    ns = None
+    if cfg.streaming_norm:
+        h = cumulative_group_norm(
+            z, p["norm_scale"][:n_bands][None, None],
+            p["norm_bias"][:n_bands][None, None], axes=(3,), eps=eps,
+            state=nstate, return_state=return_state,
+        )
+        if nstate is not None or return_state:
+            h, ns = h
     else:
-        m4 = fm[:, :, None, None]
-        denom = jnp.sum(m4, axis=1, keepdims=True) * N
-        mean = jnp.sum(h * m4, axis=(1, 3), keepdims=True) / denom
-        var = jnp.sum(jnp.square(h - mean) * m4, axis=(1, 3), keepdims=True) / denom
-    h = (h - mean) / jnp.sqrt(var + eps)
-    h = h * p["norm_scale"][:n_bands][None, None] + p["norm_bias"][:n_bands][None, None]
+        h = z
+        if fm is None:
+            mean = jnp.mean(h, axis=(1, 3), keepdims=True)
+            var = jnp.mean(jnp.square(h - mean), axis=(1, 3), keepdims=True)
+        else:
+            m4 = fm[:, :, None, None]
+            denom = jnp.sum(m4, axis=1, keepdims=True) * N
+            mean = jnp.sum(h * m4, axis=(1, 3), keepdims=True) / denom
+            var = jnp.sum(jnp.square(h - mean) * m4, axis=(1, 3), keepdims=True) / denom
+        h = (h - mean) / jnp.sqrt(var + eps)
+        h = (h * p["norm_scale"][:n_bands][None, None]
+             + p["norm_bias"][:n_bands][None, None])
     cdtype = jnp.dtype(cfg.compute_dtype)
     hc = h.astype(cdtype)
     h = jnp.tanh(
@@ -445,7 +533,10 @@ def _mask_decoder_head(p, z, cfg: BSRNNConfig, n_bands: int, n_bins: int, eps,
     out = val * jax.nn.sigmoid(gate) * jnp.asarray(chan_mask)[None, None]
     cplx = out.reshape(B, T, K, cfg.max_sub, 2)
     cplx = jax.lax.complex(cplx[..., 0], cplx[..., 1]).reshape(B, T, K * cfg.max_sub)
-    return cplx[..., jnp.asarray(flat_valid)]  # (B, T, n_bins)
+    cplx = cplx[..., jnp.asarray(flat_valid)]  # (B, T, n_bins)
+    if nstate is not None or return_state:
+        return cplx, ns
+    return cplx
 
 
 def frame_validity(lengths: jnp.ndarray, n_frames: int, n_fft: int, hop: int):
@@ -463,6 +554,7 @@ def bsrnn_apply(
     spec_cond: Optional[jnp.ndarray] = None,
     frames: Optional[jnp.ndarray] = None,
     constrain=None,
+    states=None,
 ):
     """Core discriminative BSRNN.  spec: (B, T, F) complex at rate ``fs``;
     returns mask*spec + residual.  The conditional (flow/score) variant with
@@ -471,10 +563,34 @@ def bsrnn_apply(
 
     ``frames`` (B,): valid-frame counts — activates the length-exact path
     (masked norms + length-reversed backward recurrences) so outputs at
-    valid frames are independent of the bucket padding."""
+    valid frames are independent of the bucket padding.
+
+    ``states``: streaming carry (see models/streaming_causal.init_states) —
+    requires ``cfg.causal`` and ``cfg.streaming_norm``; the call then
+    processes ``spec`` as the next chunk of an unbounded stream and returns
+    ``(enhanced_spec, new_states)``."""
     B, T, F = spec.shape
     eps = cfg.norm_eps
     K = band_count(cfg.input_dim, cfg.target_fs, fs, F)
+    if states is not None:
+        if not (cfg.causal and cfg.streaming_norm):
+            raise ValueError(
+                "streaming state requires causal=True and streaming_norm=True"
+            )
+        z, bs = _band_split_apply(
+            params["band_split"], spec, cfg, K, eps, nstate=states["band_split"]
+        )
+        z, ls = _run_layers(params, z, cfg, t, eps, states=states["layers"])
+        m, ms = _mask_decoder_head(
+            params["mask_decoder"]["mask"], z, cfg, K, F, eps,
+            nstate=states["mask"],
+        )
+        r, rs = _mask_decoder_head(
+            params["mask_decoder"]["residual"], z, cfg, K, F, eps,
+            nstate=states["residual"],
+        )
+        new_states = {"band_split": bs, "layers": ls, "mask": ms, "residual": rs}
+        return m * spec + r, new_states
     fm = None
     if frames is not None:
         fm = _stft.frames_mask(frames, T)

@@ -49,13 +49,18 @@ def init_lstm(key, input_size: int, hidden_size: int, bidirectional: bool = Fals
 
 
 def _scan_dir(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray, hidden: int, reverse: bool,
-              accum_dtype=jnp.float32):
+              accum_dtype=jnp.float32, initial_state=None, return_state: bool = False):
     """Scan one direction.  x_proj: (B, T, 4H) input projection incl. biases;
-    w_hh_t: (H, 4H) pre-transposed recurrent weights."""
+    w_hh_t: (H, 4H) pre-transposed recurrent weights.  ``initial_state``
+    (h0, c0) continues a previous chunk's recurrence (streaming)."""
     B = x_proj.shape[0]
     dtype = x_proj.dtype
-    h0 = jnp.zeros((B, hidden), dtype)
-    c0 = jnp.zeros((B, hidden), accum_dtype)
+    if initial_state is None:
+        h0 = jnp.zeros((B, hidden), dtype)
+        c0 = jnp.zeros((B, hidden), accum_dtype)
+    else:
+        h0 = initial_state[0].astype(dtype)
+        c0 = initial_state[1].astype(accum_dtype)
 
     def step(carry, xp):
         h, c = carry
@@ -72,18 +77,26 @@ def _scan_dir(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray, hidden: int, reverse: bo
         return (h, c), h
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H): scan over leading axis
-    (_, _), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    (hT, cT), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    out = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    if return_state:
+        return out, (hT, cT)
+    return out
 
 
-def lstm(params, x: jnp.ndarray, reverse: bool = False, suffix: str = "") -> jnp.ndarray:
-    """Unidirectional LSTM.  x: (B, T, I) -> (B, T, H)."""
+def lstm(params, x: jnp.ndarray, reverse: bool = False, suffix: str = "",
+         initial_state=None, return_state: bool = False):
+    """Unidirectional LSTM.  x: (B, T, I) -> (B, T, H).
+
+    ``initial_state``/``return_state``: (h, c) carry for chunked streaming —
+    chaining calls over consecutive chunks equals one full-sequence call."""
     w_ih = params[f"w_ih{suffix}"]
     b = params[f"b_ih{suffix}"] + params[f"b_hh{suffix}"]
     dtype = x.dtype
     x_proj = x @ w_ih.T.astype(dtype) + b.astype(dtype)
     hidden = w_ih.shape[0] // 4
-    return _scan_dir(x_proj, params[f"w_hh{suffix}"].T.astype(dtype), hidden, reverse)
+    return _scan_dir(x_proj, params[f"w_hh{suffix}"].T.astype(dtype), hidden, reverse,
+                     initial_state=initial_state, return_state=return_state)
 
 
 def bilstm(params, x: jnp.ndarray) -> jnp.ndarray:

@@ -100,7 +100,12 @@ def build_model(cfg: Config) -> ModelBundle:
         input_dim=481,
         num_channel=model_configs.get("num_channel", 192),
         num_layer=model_configs.get("num_layer", 6),
-        causal=False,
+        # reference model_configs feed BSRNNSeparator kwargs, which include
+        # `causal` (reference models/bsrnn.py:33); streaming_norm is the
+        # TPU-framework extension that makes a causal model deployable as a
+        # real-time stream (models/streaming_causal.py)
+        causal=bool(model_configs.get("causal", False)),
+        streaming_norm=bool(model_configs.get("streaming_norm", False)),
         compute_dtype=cfg.compute_dtype,
         use_pallas_lstm=use_pallas,
     )

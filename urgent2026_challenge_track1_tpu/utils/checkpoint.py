@@ -27,6 +27,14 @@ def _use_pallas() -> bool:
         return False
 
 
+def _inference_dtype() -> str:
+    """bfloat16 on TPU (MXU fast path); float32 elsewhere — the XLA CPU
+    thunk runtime in this image cannot execute batched bf16 x bf16 -> f32
+    DotGenerals (the band-split/decoder einsums), so forcing bf16 off-TPU
+    breaks CPU inference outright (found by an end-to-end verify drive)."""
+    return "bfloat16" if _use_pallas() else "float32"
+
+
 def _from_torch(path: str):
     from urgent2026_challenge_track1_tpu.utils import convert
 
@@ -39,7 +47,7 @@ def _from_torch(path: str):
         n = sd["dnn.condition_fc.bias"].shape[0]
         layers = len({k.split(".")[2] for k in sd if k.startswith("dnn.rnn_time.")})
         fcfg = flow_mod.FlowSEConfig(
-            bsrnn_hidden=n, num_layer=layers, compute_dtype="bfloat16",
+            bsrnn_hidden=n, num_layer=layers, compute_dtype=_inference_dtype(),
             use_pallas_lstm=_use_pallas(),
         )
         template = flow_mod.init_flowse(jax.random.PRNGKey(0), fcfg)
@@ -53,7 +61,7 @@ def _from_torch(path: str):
     )
     mcfg = bsrnn_mod.BSRNNConfig(
         input_dim=481, num_channel=n, num_layer=layers, causal=False,
-        compute_dtype="bfloat16", use_pallas_lstm=_use_pallas(),
+        compute_dtype=_inference_dtype(), use_pallas_lstm=_use_pallas(),
     )
     template = bsrnn_mod.init_bsrnn(jax.random.PRNGKey(0), mcfg)
     params = convert.convert_discriminative_state_dict(sd, template, mcfg, prefix)
@@ -114,11 +122,12 @@ def _bundle_from_payload(payload, meta):
     from urgent2026_challenge_track1_tpu.train.trainer import build_model
 
     bundle = build_model(cfg)
-    # inference runs the recurrence matmuls in bfloat16 (f32 residual/state)
+    # inference runs the recurrence matmuls in bfloat16 on TPU (f32
+    # residual/state); float32 elsewhere — see _inference_dtype
     bundle = dataclasses.replace(
         bundle,
         model_cfg=dataclasses.replace(
-            bundle.model_cfg, compute_dtype="bfloat16",
+            bundle.model_cfg, compute_dtype=_inference_dtype(),
             use_pallas_lstm=_use_pallas(),
         ),
     )
