@@ -12,6 +12,12 @@ Endpoints
 POST /enhance      body = wav/flac bytes -> enhanced wav bytes
                    (``?subtype=FLOAT`` for lossless float32 output,
                    default PCM_16 like ``inference.py``)
+POST /stream       real-time full-duplex enhancement (requires a causal +
+                   streaming_norm checkpoint): chunked-transfer request
+                   body of raw little-endian float32 mono PCM at ``?fs=``;
+                   the response streams back the same format as samples
+                   become final — output begins while the request is still
+                   uploading (models/streaming_causal.StreamingSession)
 GET  /healthz      liveness + backend platform
 GET  /stats        batching statistics (occupancy, waits, errors)
 
@@ -24,13 +30,21 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import numpy as np
+
 from urgent2026_challenge_track1_tpu.utils import audio_io
+
+STANDARD_FS = (8000, 16000, 22050, 24000, 32000, 44100, 48000)
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
-                platform: str = "?"):
+                platform: str = "?", streamer=None, stream_chunk_frames: int = 8):
     """A ThreadingHTTPServer wired to ``engine`` (separated from main() so
-    tests can run it on an ephemeral port with a fake engine)."""
+    tests can run it on an ephemeral port with a fake engine).
+
+    ``streamer``: optional ``(fs, chunk_frames) -> StreamingSession`` factory
+    enabling POST /stream (built in main() when the checkpoint is a
+    causal+streaming_norm discriminative model)."""
 
     class Handler(BaseHTTPRequestHandler):
         # keep-alive: every response carries Content-Length, so persistent
@@ -58,10 +72,90 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
+        def _request_chunks(self):
+            """Yield the body as it arrives: chunked-transfer framing when
+            the client uses it, else the whole Content-Length body at once."""
+            if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
+                while True:
+                    line = self.rfile.readline(65536)
+                    if not line:
+                        return  # client hung up
+                    size = int(line.split(b";")[0].strip() or b"0", 16)
+                    if size == 0:
+                        while True:  # drain optional trailers
+                            t = self.rfile.readline(65536)
+                            if t in (b"\r\n", b"\n", b""):
+                                return
+                    data = self.rfile.read(size)
+                    self.rfile.read(2)  # CRLF after each chunk
+                    yield data
+            else:
+                n = int(self.headers.get("Content-Length", 0))
+                if n > 0:
+                    yield self.rfile.read(n)
+
+        def _do_stream(self, query: str):
+            """POST /stream: full-duplex chunked f32 PCM enhancement."""
+            from urllib.parse import parse_qs
+
+            q = parse_qs(query)
+            if streamer is None:
+                # drain so keep-alive connections stay in sync
+                for _ in self._request_chunks():
+                    pass
+                return self._json(
+                    400, {"error": "this checkpoint cannot stream: /stream "
+                                   "needs a causal + streaming_norm "
+                                   "discriminative model"})
+            try:
+                fs = int(q["fs"][0])
+                if fs not in STANDARD_FS:
+                    raise ValueError(f"fs must be one of {STANDARD_FS}")
+                chunk_frames = int(q.get("chunk_frames",
+                                         [stream_chunk_frames])[0])
+                if not 1 <= chunk_frames <= 256:
+                    raise ValueError("chunk_frames must be in [1, 256]")
+            except (KeyError, ValueError) as e:
+                for _ in self._request_chunks():
+                    pass
+                return self._json(400, {"error": f"bad query: {e}"})
+            sess = streamer(fs, chunk_frames)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("X-Sample-Rate", str(fs))
+            self.send_header("X-Latency-Samples", str(sess.latency_samples))
+            self.end_headers()
+
+            def emit(out: np.ndarray):
+                if out.size:
+                    b = out[0].astype("<f4").tobytes()
+                    self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+                    self.wfile.flush()
+
+            try:
+                pend = b""
+                for data in self._request_chunks():
+                    pend += data
+                    n4 = len(pend) - len(pend) % 4
+                    if n4:
+                        samples = np.frombuffer(pend[:n4], "<f4")[None, :]
+                        pend = pend[n4:]
+                        emit(sess.feed(samples))
+                emit(sess.flush())
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception as e:
+                # headers are already out: a truncated chunked stream is the
+                # error signal; log and drop the connection
+                self.log_error("stream aborted: %s", e)
+                self.close_connection = True
+
         def do_POST(self):
             from urllib.parse import parse_qs
 
             path, _, query = self.path.partition("?")
+            if path == "/stream":
+                return self._do_stream(query)
             # always drain the body first: with HTTP/1.1 keep-alive, unread
             # bytes would desynchronize the next request on the connection
             n = int(self.headers.get("Content-Length", 0))
@@ -141,11 +235,26 @@ def main(args):
                                jnp.asarray([fs], jnp.int32)))
             print(f"warmed up fs={fs}")
 
+    streamer = None
+    if (kind == "discriminative" and getattr(model_cfg, "causal", False)
+            and getattr(model_cfg, "streaming_norm", False)):
+        from urgent2026_challenge_track1_tpu.models.streaming_causal import (
+            StreamingSession,
+        )
+
+        def streamer(fs, chunk_frames):
+            return StreamingSession(params, model_cfg, stft_cfg, fs,
+                                    chunk_frames=chunk_frames)
+
+        print("real-time /stream enabled (causal streaming checkpoint)")
+
     engine = BatchingEngine(
         enhance, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         chunk_seconds=args.chunk_seconds,
     )
-    server = make_server(engine, args.host, args.port, platform=platform)
+    server = make_server(engine, args.host, args.port, platform=platform,
+                         streamer=streamer,
+                         stream_chunk_frames=args.stream_chunk_frames)
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, max_wait={args.max_wait_ms}ms)")
 
@@ -193,4 +302,9 @@ if __name__ == "__main__":
     parser.add_argument("--warmup_fs", type=int, nargs="*", default=[],
                         help="sampling rates to pre-compile (e.g. 16000 "
                              "48000) before accepting traffic")
+    parser.add_argument("--stream_chunk_frames", type=int, default=8,
+                        help="/stream default STFT frames per device step "
+                             "(latency = chunk_frames*hop + n_fft//2 "
+                             "samples; clients may override per request "
+                             "with ?chunk_frames=)")
     main(parser.parse_args())
