@@ -33,7 +33,9 @@ sys.path.insert(0, str(REPO))
 
 from urgent2026_challenge_track1_tpu.utils import audio_io  # noqa: E402
 
-SAMPLE_RATES = (8000, 16000, 48000)
+SAMPLE_RATES = (8000, 16000, 48000)  # default; --rates overrides (the full
+#                                      challenge set is 8000,16000,22050,
+#                                      24000,32000,44100,48000)
 SECONDS = 2
 N_TRAIN_PER_FS = 120
 N_VAL_PER_FS = 4
@@ -56,7 +58,7 @@ def colored_noise(rng, n, pole):
     return (x / np.abs(x).max()).astype(np.float32)
 
 
-def build_pool(root: Path):
+def build_pool(root: Path, rates=SAMPLE_RATES):
     """Pre-simulated paired pools across three sampling rates."""
     done_marker = root / ".pool_done"
     if done_marker.exists():
@@ -66,7 +68,7 @@ def build_pool(root: Path):
         d.mkdir(parents=True, exist_ok=True)
         scps = {k: open(d / k, "w")
                 for k in ("spk1.scp", "wav.scp", "utt2fs", "speech_length.scp")}
-        for fs in SAMPLE_RATES:
+        for fs in rates:
             rng = np.random.default_rng(fs + (0 if split == "train" else 777))
             for i in range(n):
                 uid = f"{split[:2]}_{fs}_{i}"
@@ -129,6 +131,11 @@ def main():
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--workdir", type=str, default="/tmp/multifs_soak")
     ap.add_argument("--restart-seconds", type=int, default=1200)
+    ap.add_argument("--rates", type=str, default="",
+                    help="comma-separated sampling rates for the pool "
+                         "(default 8000,16000,48000; pass all seven to "
+                         "exercise every STFT geometry)")
+    ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
 
@@ -137,7 +144,8 @@ def main():
     if args.report_only:
         report(exp_dir)
         return
-    build_pool(work)
+    rates = tuple(int(r) for r in args.rates.split(",") if r) or SAMPLE_RATES
+    build_pool(work, rates)
 
     import yaml
 
@@ -146,11 +154,12 @@ def main():
         train_set_path=str(work / "train"),
         valid_set_path=str(work / "validation"),
         train_set_dynamic_mixing=False,
-        # B=2: with one compiled program per fs resident, the 48 kHz
+        # B=2 default: with one compiled program per fs resident, the 48 kHz
         # step's peak HBM at B=4 crashes the 16 GB worker (round-3
         # finding; B=2 interleaves all three programs stably).  The
-        # reference notes ~14 GB at batch=2 for this model, too.
-        batch_size=2,
+        # reference notes ~14 GB at batch=2 for this model, too.  With all
+        # seven rates resident, drop to --batch_size 1.
+        batch_size=args.batch_size,
         num_train_epochs=100000,   # bounded by --steps below, not epochs
         # the reference's per-epoch StepLR (gamma 0.85) assumes real epoch
         # sizes; this soak's epochs are ~180 steps, so the unscaled schedule
