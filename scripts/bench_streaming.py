@@ -49,7 +49,7 @@ def main():
 
     for C in chunk_list:
         step, n_fft, hop, n_bands = SC.make_streaming_step(
-            params, cfg, stft_cfg, fs, chunk_frames=C
+            cfg, stft_cfg, fs, chunk_frames=C
         )
         state = {
             "model": SC.init_model_states(params, cfg, 1, n_bands),

@@ -59,9 +59,16 @@ def colored_noise(rng, n, pole):
 
 
 def build_pool(root: Path, rates=SAMPLE_RATES):
-    """Pre-simulated paired pools across three sampling rates."""
+    """Pre-simulated paired pools across the requested sampling rates."""
     done_marker = root / ".pool_done"
+    stamp = ",".join(str(r) for r in rates)
     if done_marker.exists():
+        have = done_marker.read_text().strip()
+        if have not in ("ok", stamp) or (have == "ok" and stamp != ",".join(
+                str(r) for r in SAMPLE_RATES)):
+            raise SystemExit(
+                f"workdir {root} holds a pool built for rates [{have}]; "
+                f"requested [{stamp}] — use a fresh --workdir")
         return
     for split, n in (("train", N_TRAIN_PER_FS), ("validation", N_VAL_PER_FS)):
         d = root / split
@@ -86,7 +93,7 @@ def build_pool(root: Path, rates=SAMPLE_RATES):
                 print(uid, clean.size, file=scps["speech_length.scp"])
         for f in scps.values():
             f.close()
-    done_marker.write_text("ok")
+    done_marker.write_text(stamp)
 
 
 def latest_step(exp_dir: Path) -> int:

@@ -107,27 +107,42 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                     400, {"error": "this checkpoint cannot stream: /stream "
                                    "needs a causal + streaming_norm "
                                    "discriminative model"})
+            allowed_chunks = sorted({1, 2, 4, 8, 16, 32, stream_chunk_frames})
             try:
                 fs = int(q["fs"][0])
                 if fs not in STANDARD_FS:
                     raise ValueError(f"fs must be one of {STANDARD_FS}")
                 chunk_frames = int(q.get("chunk_frames",
                                          [stream_chunk_frames])[0])
-                if not 1 <= chunk_frames <= 256:
-                    raise ValueError("chunk_frames must be in [1, 256]")
+                # each (fs, chunk_frames) pair is a separate compiled
+                # program (tens of seconds on a TPU tunnel): bound the set a
+                # client can force rather than letting it churn the compile
+                # cache with arbitrary values
+                if chunk_frames not in allowed_chunks:
+                    raise ValueError(f"chunk_frames must be one of "
+                                     f"{allowed_chunks}")
             except (KeyError, ValueError) as e:
                 for _ in self._request_chunks():
                     pass
                 return self._json(400, {"error": f"bad query: {e}"})
             sess = streamer(fs, chunk_frames)
-            self.send_response(200)
-            self.send_header("Content-Type", "application/octet-stream")
-            self.send_header("Transfer-Encoding", "chunked")
-            self.send_header("X-Sample-Rate", str(fs))
-            self.send_header("X-Latency-Samples", str(sess.latency_samples))
-            self.end_headers()
+            started = False
 
             def emit(out: np.ndarray):
+                nonlocal started
+                if not started:
+                    # defer the 200 until there is something to say: a
+                    # too-short body then gets a clean 400 instead of a
+                    # truncated chunked success
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.send_header("X-Sample-Rate", str(fs))
+                    self.send_header("X-Latency-Samples",
+                                     str(sess.latency_samples))
+                    self.end_headers()
+                    started = True
                 if out.size:
                     b = out[0].astype("<f4").tobytes()
                     self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
@@ -141,14 +156,20 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                     if n4:
                         samples = np.frombuffer(pend[:n4], "<f4")[None, :]
                         pend = pend[n4:]
-                        emit(sess.feed(samples))
-                emit(sess.flush())
+                        out = sess.feed(samples)
+                        if out.size:
+                            emit(out)
+                final = sess.flush()
+                emit(final)  # sends the headers even when final is empty
                 self.wfile.write(b"0\r\n\r\n")
             except Exception as e:
-                # headers are already out: a truncated chunked stream is the
-                # error signal; log and drop the connection
-                self.log_error("stream aborted: %s", e)
-                self.close_connection = True
+                if started:
+                    # headers are out: a truncated chunked stream is the
+                    # error signal; log and drop the connection
+                    self.log_error("stream aborted: %s", e)
+                    self.close_connection = True
+                else:
+                    self._json(400, {"error": f"stream failed: {e}"})
 
         def do_POST(self):
             from urllib.parse import parse_qs

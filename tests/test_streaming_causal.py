@@ -119,6 +119,22 @@ def test_streaming_equals_offline(tiny_causal, fs, L):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5)
 
 
+def test_streaming_priming_window_feed_sizes(tiny_causal):
+    """Feed sizes in [chunk - pad, chunk - 1] land between 'a full chunk is
+    pending' judged before vs after priming consumes the STFT left context —
+    the round-3 review found this dispatched a short first chunk (silent
+    corruption).  fs=16 kHz, chunk_frames=2: chunk=320, pad=160."""
+    cfg, params = tiny_causal
+    fs, L = 16000, 6000
+    noisy = 0.1 * RNG.standard_normal((1, L)).astype(np.float32)
+    ref = _offline(params, cfg, noisy, fs)
+    for feed in (161, 200, 319):
+        sess = SC.StreamingSession(params, cfg, STFT_CFG, fs, chunk_frames=2)
+        out = sess.process(noisy, feed_size=feed)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5,
+                                   err_msg=f"feed_size={feed}")
+
+
 def test_streaming_feed_size_irrelevant(tiny_causal):
     """The output is independent of how the caller slices the feeds."""
     cfg, params = tiny_causal

@@ -83,7 +83,7 @@ def _padded_window(n_fft: int, win: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=256)
 def _build_step(cfg: B.BSRNNConfig, stft_cfg: dsp.STFTConfig, fs: int,
                 chunk_frames: int):
     """One jitted streaming step.  Returns (fn, n_fft, hop, n_bands)."""
@@ -127,9 +127,10 @@ def _build_step(cfg: B.BSRNNConfig, stft_cfg: dsp.STFTConfig, fs: int,
     return jax.jit(step), n_fft, hop, n_bands
 
 
-def make_streaming_step(params, cfg: B.BSRNNConfig, stft_cfg: dsp.STFTConfig,
+def make_streaming_step(cfg: B.BSRNNConfig, stft_cfg: dsp.STFTConfig,
                         fs: int, chunk_frames: int = 8):
-    """(jitted step fn, geometry) — see ``_build_step``; cached per config."""
+    """(jitted step fn, n_fft, hop, n_bands) — see ``_build_step``; cached
+    per config.  The step takes ``params`` per call (params-agnostic)."""
     return _build_step(cfg, stft_cfg, fs, int(chunk_frames))
 
 
@@ -198,10 +199,14 @@ class StreamingSession:
         zero-input drain steps until ``_emit_pos >= drain_until``."""
         outs = []
         while True:
-            have = self._pending.shape[-1] >= self._chunk
-            draining = drain_until is not None and self._emit_pos < drain_until
+            # prime FIRST: it consumes n_fft-hop samples from _pending, so
+            # chunk availability must be judged on what remains (judging
+            # before priming dispatched a short first chunk for feed sizes
+            # in [chunk-pad, chunk-1] — silent output corruption)
             if not self._prime():
                 break
+            have = self._pending.shape[-1] >= self._chunk
+            draining = drain_until is not None and self._emit_pos < drain_until
             if have:
                 chunk = self._pending[:, : self._chunk]
                 self._pending = self._pending[:, self._chunk :]
