@@ -173,3 +173,27 @@ def test_streamin_masked_path_matches_scan():
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(gref[k]), atol=2e-5, err_msg=k
         )
+
+
+def test_unidirectional_lstm_pallas_matches_scan():
+    """ops/lstm.lstm(use_pallas=True): the causal (forward-only) time path
+    routes through the custom-VJP kernel; parity with the scan incl. grads."""
+    rng = np.random.default_rng(9)
+    B, T, N, H = 5, 17, 24, 128
+    params = lstm_ops.init_lstm(jax.random.PRNGKey(0), N, H)
+    x = jnp.asarray(rng.standard_normal((B, T, N)).astype(np.float32))
+    ref = lstm_ops.lstm(params, x)
+    out = lstm_ops.lstm(params, x, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    cot = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+
+    def loss(p, pallas):
+        y = lstm_ops.lstm(p, x, use_pallas=pallas, interpret=True)
+        return jnp.sum(y * cot)
+
+    g_ref = jax.grad(loss)(params, False)
+    g_pl = jax.grad(loss)(params, True)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_pl[k]), np.asarray(g_ref[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)

@@ -407,7 +407,8 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
                 return_state=True,
             )
         else:
-            h = lstm_ops.lstm(layer["rnn_time"], seq)
+            h = lstm_ops.lstm(layer["rnn_time"], seq,
+                              use_pallas=cfg.use_pallas_lstm)
     elif frames is not None:
         h = lstm_ops.bilstm_masked(
             layer["rnn_time"], seq, jnp.repeat(frames, K),

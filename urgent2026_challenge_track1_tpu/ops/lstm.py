@@ -85,15 +85,27 @@ def _scan_dir(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray, hidden: int, reverse: bo
 
 
 def lstm(params, x: jnp.ndarray, reverse: bool = False, suffix: str = "",
-         initial_state=None, return_state: bool = False):
+         initial_state=None, return_state: bool = False,
+         use_pallas: bool = False, interpret: bool = False):
     """Unidirectional LSTM.  x: (B, T, I) -> (B, T, H).
 
     ``initial_state``/``return_state``: (h, c) carry for chunked streaming —
-    chaining calls over consecutive chunks equals one full-sequence call."""
+    chaining calls over consecutive chunks equals one full-sequence call.
+
+    ``use_pallas`` routes the full-sequence forward direction through the
+    custom-VJP Pallas kernel (causal training/inference on TPU); the kernels
+    carry no external state, so streaming calls fall back to the scan."""
     w_ih = params[f"w_ih{suffix}"]
     b = params[f"b_ih{suffix}"] + params[f"b_hh{suffix}"]
     dtype = x.dtype
     x_proj = x @ w_ih.T.astype(dtype) + b.astype(dtype)
+    if (use_pallas and not reverse and initial_state is None
+            and not return_state):
+        from urgent2026_challenge_track1_tpu.ops import pallas_lstm as pl
+
+        return pl.lstm_dir_pallas(
+            x_proj, params[f"w_hh{suffix}"].T.astype(dtype), interpret
+        )
     hidden = w_ih.shape[0] // 4
     return _scan_dir(x_proj, params[f"w_hh{suffix}"].T.astype(dtype), hidden, reverse,
                      initial_state=initial_state, return_state=return_state)
