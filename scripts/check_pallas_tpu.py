@@ -106,6 +106,16 @@ def main():
     ok &= check_masked("masked time f32 ", 136, 201, 196, 392, jnp.float32)
     ok &= check_masked("masked time bf16", 136, 201, 196, 392, jnp.bfloat16)
     ok &= check_masked("masked flow bf16", 48, 126, 384, 768, jnp.bfloat16)
+    # fused both-direction training kernels (FUSED_BIDIR_TRAIN experiment):
+    # the grad path routes through _train_forward2/_lstm_train_bwd2
+    from urgent2026_challenge_track1_tpu.ops import pallas_lstm as pl_ops
+
+    pl_ops.FUSED_BIDIR_TRAIN = True
+    try:
+        ok &= check("fused band bf16", 804, 34, 196, 392, jnp.bfloat16)
+        ok &= check("fused band f32 ", 804, 34, 196, 392, jnp.float32)
+    finally:
+        pl_ops.FUSED_BIDIR_TRAIN = False
     if not ok:
         raise SystemExit("TPU kernel parity check FAILED")
     print("all TPU kernel parity checks passed")

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from urgent2026_challenge_track1_tpu.ops import lstm as lstm_ops
+from urgent2026_challenge_track1_tpu.ops import pallas_lstm as pl_ops
 from urgent2026_challenge_track1_tpu.ops.pallas_lstm import (
     bilstm_pallas,
     bilstm_pallas_train,
@@ -197,3 +198,78 @@ def test_unidirectional_lstm_pallas_matches_scan():
     for k in g_ref:
         np.testing.assert_allclose(np.asarray(g_pl[k]), np.asarray(g_ref[k]),
                                    rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_fused_bidir_training_matches_per_direction():
+    """FUSED_BIDIR_TRAIN=True (both directions in one Pallas call, forward
+    AND backward kernels) must reproduce the per-direction training numerics
+    exactly — the band-path fusion experiment (VERDICT r2 item 10a)."""
+    B, T, I, H = 4, 9, 8, 16
+    params = lstm_ops.init_lstm(jax.random.PRNGKey(0), I, H, bidirectional=True)
+    x = jnp.asarray(
+        0.3 * np.random.default_rng(1).standard_normal((B, T, I)), jnp.float32
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(2).standard_normal((B, T, 2 * H)), jnp.float32
+    )
+
+    def loss(p, x_):
+        return jnp.sum(pl_ops.bilstm_pallas(p, x_, interpret=True) * cot)
+
+    ref_out = pl_ops.bilstm_pallas(params, x, interpret=True)
+    ref_gp, ref_gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    assert not pl_ops.FUSED_BIDIR_TRAIN
+    pl_ops.FUSED_BIDIR_TRAIN = True
+    try:
+        out = pl_ops.bilstm_pallas(params, x, interpret=True)
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    finally:
+        pl_ops.FUSED_BIDIR_TRAIN = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_gx), atol=2e-5)
+    for k in ref_gp:
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(ref_gp[k]), atol=2e-5, err_msg=k
+        )
+
+
+def test_fused_bidir_training_blocked_grid():
+    """Same parity through the grid-blocked fused kernels (b_block < B)."""
+    B, T, I, H = 16, 5, 8, 16
+    params = lstm_ops.init_lstm(jax.random.PRNGKey(7), I, H, bidirectional=True)
+    x = jnp.asarray(
+        0.3 * np.random.default_rng(8).standard_normal((B, T, I)), jnp.float32
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal((B, T, 2 * H)), jnp.float32
+    )
+    dtype = x.dtype
+    args = (
+        x,
+        params["w_ih"].T.astype(dtype),
+        params["w_ih_reverse"].T.astype(dtype),
+        params["w_hh"].T.astype(dtype),
+        params["w_hh_reverse"].T.astype(dtype),
+        (params["b_ih"] + params["b_hh"])[None],
+        (params["b_ih_reverse"] + params["b_hh_reverse"])[None],
+    )
+
+    def loss(*a):
+        return jnp.sum(
+            pl_ops.lstm_pallas_bidir_fusedin(*a, b_block=8, interpret=True) * cot
+        )
+
+    ref_out = pl_ops.lstm_pallas_bidir_fusedin(*args, b_block=8, interpret=True)
+    ref_grads = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    assert not pl_ops.FUSED_BIDIR_TRAIN
+    pl_ops.FUSED_BIDIR_TRAIN = True
+    try:
+        out = pl_ops.lstm_pallas_bidir_fusedin(*args, b_block=8, interpret=True)
+        grads = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    finally:
+        pl_ops.FUSED_BIDIR_TRAIN = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-6)
+    for i, (g, g_ref) in enumerate(zip(grads, ref_grads)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), atol=2e-5, err_msg=f"arg {i}"
+        )

@@ -287,6 +287,13 @@ def lstm_pallas_bidir_fusedin(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b,
 # x@W_ih, no materialized (B, T, 4H) projection); the backward is unchanged.
 STREAM_INPUT_TRAIN = False
 
+# Experiment toggle (scripts/bench_band_fused_ab.py): when True, the training
+# forward/backward of a differentiated bilstm_pallas (in practice: the BAND
+# recurrence — the time path routes through bilstm_masked) run both
+# directions in ONE Pallas call each (_train_forward2/_lstm_train_bwd2)
+# instead of one call per direction.  Read at trace time by both VJP rules.
+FUSED_BIDIR_TRAIN = False
+
 
 def _fusedin_fwd(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b, b_block, interpret):
     dtype = x.dtype
@@ -304,8 +311,13 @@ def _fusedin_fwd(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b, b_block, interpret
                      (w_ih_f, w_ih_b))
     proj_f = x @ w_ih_f.astype(dtype) + b_f.astype(dtype)
     proj_b = x @ w_ih_b.astype(dtype) + b_b.astype(dtype)
-    out_f, gates_f, c_f = _train_forward(proj_f, w_hh_f, False, b_block, interpret)
-    out_b, gates_b, c_b = _train_forward(proj_b, w_hh_b, True, b_block, interpret)
+    if FUSED_BIDIR_TRAIN:
+        out_f, gates_f, c_f, out_b, gates_b, c_b = _train_forward2(
+            proj_f, proj_b, w_hh_f, w_hh_b, b_block, interpret
+        )
+    else:
+        out_f, gates_f, c_f = _train_forward(proj_f, w_hh_f, False, b_block, interpret)
+        out_b, gates_b, c_b = _train_forward(proj_b, w_hh_b, True, b_block, interpret)
     out = jnp.concatenate(
         [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1
     )
@@ -316,8 +328,13 @@ def _fusedin_fwd(x, w_ih_f, w_ih_b, w_hh_f, w_hh_b, b_f, b_b, b_block, interpret
 def _fusedin_bwd(b_block, interpret, res, g_out):
     x, res_f, res_b, (w_ih_f, w_ih_b) = res
     H = res_f[0].shape[-1]
-    dxp_f, dw_hh_f = _lstm_train_bwd(False, b_block, interpret, res_f, g_out[..., :H])
-    dxp_b, dw_hh_b = _lstm_train_bwd(True, b_block, interpret, res_b, g_out[..., H:])
+    if FUSED_BIDIR_TRAIN and not STREAM_INPUT_TRAIN:
+        dxp_f, dw_hh_f, dxp_b, dw_hh_b = _lstm_train_bwd2(
+            res_f, res_b, g_out[..., :H], g_out[..., H:], b_block, interpret
+        )
+    else:
+        dxp_f, dw_hh_f = _lstm_train_bwd(False, b_block, interpret, res_f, g_out[..., :H])
+        dxp_b, dw_hh_b = _lstm_train_bwd(True, b_block, interpret, res_b, g_out[..., H:])
     # input-projection VJP in XLA (big dense matmuls)
     dx = dxp_f @ w_ih_f.T.astype(dxp_f.dtype) + dxp_b @ w_ih_b.T.astype(dxp_b.dtype)
     d_wih_f = jnp.einsum("btn,btg->ng", x, dxp_f).astype(w_ih_f.dtype)
@@ -703,6 +720,217 @@ def _lstm_train_bwd(reverse, b_block, interpret, res, g_out):
 
 
 lstm_pallas_train.defvjp(_lstm_train_fwd, _lstm_train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused both-direction TRAINING kernels (experiment, VERDICT r2 item 10a):
+# one Pallas call runs the forward and the reverse direction of a
+# bidirectional recurrence together — per grid step t the kernel advances
+# the forward direction at time t AND the reverse direction at time T-1-t
+# (separate VMEM state scratch and index maps per direction).  Halves the
+# per-call fixed overhead, which matters most for the BAND recurrence
+# (K≈34-step sequences).  The residual streams double per call — the
+# round-2 rejection of the fully-fused variant at the TIME path measured
+# exactly that pipelining cost (140 vs 104 ms/step) — so this stays behind
+# FUSED_BIDIR_TRAIN for the band-path-specific same-process A/B
+# (scripts/bench_band_fused_ab.py).
+# ---------------------------------------------------------------------------
+
+
+def _train_fwd2_kernel(xpf_ref, xpb_ref, whhf_ref, whhb_ref,
+                       outf_ref, gatesf_ref, cf_ref,
+                       outb_ref, gatesb_ref, cb_ref,
+                       hf_s, cf_s, hb_s, cb_s):
+    first = pl.program_id(0) == 0
+    _train_fwd_body(xpf_ref, whhf_ref, outf_ref, gatesf_ref, cf_ref,
+                    hf_s, cf_s, first)
+    _train_fwd_body(xpb_ref, whhb_ref, outb_ref, gatesb_ref, cb_ref,
+                    hb_s, cb_s, first)
+
+
+def _train_fwd2_kernel_blocked(xpf_ref, xpb_ref, whhf_ref, whhb_ref,
+                               outf_ref, gatesf_ref, cf_ref,
+                               outb_ref, gatesb_ref, cb_ref,
+                               hf_s, cf_s, hb_s, cb_s):
+    first = pl.program_id(1) == 0
+    _train_fwd_body(xpf_ref, whhf_ref, outf_ref, gatesf_ref, cf_ref,
+                    hf_s, cf_s, first)
+    _train_fwd_body(xpb_ref, whhb_ref, outb_ref, gatesb_ref, cb_ref,
+                    hb_s, cb_s, first)
+
+
+def _train_forward2(proj_f, proj_b, w_hh_f_t, w_hh_b_t, b_block, interpret):
+    """Residual-storing fused bidirectional forward.  proj_* (B, T, 4H);
+    returns time-major (out_f, gates_f, c_f, out_b, gates_b, c_b) with the
+    reverse-direction arrays in TRUE time order (same layout as
+    ``_train_forward(..., reverse=True)``), so ``_lstm_train_bwd`` /
+    ``_lstm_train_bwd2`` consume them unchanged."""
+    B, T, fourH = proj_f.shape
+    H = fourH // 4
+    dtype = proj_f.dtype
+    xs_f = jnp.swapaxes(proj_f, 0, 1)
+    xs_b = jnp.swapaxes(proj_b, 0, 1)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((T, B, w), dtype)
+        for w in (H, fourH, H, H, fourH, H)
+    )
+    if b_block <= 0 or b_block >= B:
+        kernel, grid = _train_fwd2_kernel, (T,)
+        rows = B
+
+        def idx_f(i):
+            return (i, 0, 0)
+
+        def idx_b(i):
+            return (T - 1 - i, 0, 0)
+
+        def idx_w(i):
+            return (0, 0)
+    else:
+        assert B % b_block == 0, (B, b_block)
+        kernel, grid = _train_fwd2_kernel_blocked, (B // b_block, T)
+        rows = b_block
+
+        def idx_f(b, t):
+            return (t, b, 0)
+
+        def idx_b(b, t):
+            return (T - 1 - t, b, 0)
+
+        def idx_w(b, t):
+            return (0, 0)
+
+    w_spec = pl.BlockSpec((H, fourH), idx_w, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, rows, fourH), idx_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, fourH), idx_b, memory_space=pltpu.VMEM),
+            w_spec,
+            w_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rows, H), idx_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, fourH), idx_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, H), idx_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, H), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, fourH), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, H), idx_b, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((rows, H), jnp.float32) for _ in range(4)],
+        interpret=interpret,
+        **_vmem_params(interpret),
+    )(xs_f, xs_b, w_hh_f_t.astype(dtype), w_hh_b_t.astype(dtype))
+
+
+def _train_bwd2_kernel(gf_ref, cpf_ref, hpf_ref, dof_ref, w4hf_ref,
+                       gb_ref, cpb_ref, hpb_ref, dob_ref, w4hb_ref,
+                       dxpf_ref, dwf_ref, dxpb_ref, dwb_ref,
+                       dhf_s, dcf_s, dhb_s, dcb_s):
+    first = pl.program_id(0) == 0
+    _train_bwd_body(gf_ref, cpf_ref, hpf_ref, dof_ref, w4hf_ref,
+                    dxpf_ref, dwf_ref, dhf_s, dcf_s, first, first)
+    _train_bwd_body(gb_ref, cpb_ref, hpb_ref, dob_ref, w4hb_ref,
+                    dxpb_ref, dwb_ref, dhb_s, dcb_s, first, first)
+
+
+def _train_bwd2_kernel_blocked(gf_ref, cpf_ref, hpf_ref, dof_ref, w4hf_ref,
+                               gb_ref, cpb_ref, hpb_ref, dob_ref, w4hb_ref,
+                               dxpf_ref, dwf_ref, dxpb_ref, dwb_ref,
+                               dhf_s, dcf_s, dhb_s, dcb_s):
+    first_t = pl.program_id(1) == 0
+    init_dw = jnp.logical_and(pl.program_id(0) == 0, first_t)
+    _train_bwd_body(gf_ref, cpf_ref, hpf_ref, dof_ref, w4hf_ref,
+                    dxpf_ref, dwf_ref, dhf_s, dcf_s, first_t, init_dw)
+    _train_bwd_body(gb_ref, cpb_ref, hpb_ref, dob_ref, w4hb_ref,
+                    dxpb_ref, dwb_ref, dhb_s, dcb_s, first_t, init_dw)
+
+
+def _shift_prev(out, c, reverse):
+    """(h_prev, c_prev) entering each step, in true time order."""
+    T, B, H = out.shape
+    zrow = jnp.zeros((1, B, H), out.dtype)
+    if reverse:
+        return (jnp.concatenate([out[1:], zrow], axis=0),
+                jnp.concatenate([c[1:], zrow], axis=0))
+    return (jnp.concatenate([zrow, out[:-1]], axis=0),
+            jnp.concatenate([zrow, c[:-1]], axis=0))
+
+
+def _lstm_train_bwd2(res_f, res_b, g_out_f, g_out_b, b_block, interpret):
+    """Fused both-direction backward.  res_* as stored by _train_forward2;
+    g_out_* (B, T, H).  Returns (dxp_f, dw_f, dxp_b, dw_b) batch-major."""
+    out_f, gates_f, c_f, w_hh_f_t = res_f
+    out_b, gates_b, c_b, w_hh_b_t = res_b
+    T, B, H = out_f.shape
+    fourH = 4 * H
+    dtype = out_f.dtype
+    hp_f, cp_f = _shift_prev(out_f, c_f, False)
+    hp_b, cp_b = _shift_prev(out_b, c_b, True)
+    do_f = jnp.swapaxes(g_out_f, 0, 1).astype(dtype)
+    do_b = jnp.swapaxes(g_out_b, 0, 1).astype(dtype)
+    w4h_f = jnp.swapaxes(w_hh_f_t, 0, 1).astype(dtype)
+    w4h_b = jnp.swapaxes(w_hh_b_t, 0, 1).astype(dtype)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, B, fourH), dtype),
+        jax.ShapeDtypeStruct((H, fourH), jnp.float32),
+        jax.ShapeDtypeStruct((T, B, fourH), dtype),
+        jax.ShapeDtypeStruct((H, fourH), jnp.float32),
+    )
+    if b_block <= 0 or b_block >= B:
+        kernel, grid = _train_bwd2_kernel, (T,)
+        rows = B
+
+        # fwd direction's backward walks T-1..0; reverse direction's walks 0..T-1
+        def idx_f(i):
+            return (T - 1 - i, 0, 0)
+
+        def idx_b(i):
+            return (i, 0, 0)
+
+        def idx_w(i):
+            return (0, 0)
+    else:
+        kernel, grid = _train_bwd2_kernel_blocked, (B // b_block, T)
+        rows = b_block
+
+        def idx_f(b, t):
+            return (T - 1 - t, b, 0)
+
+        def idx_b(b, t):
+            return (t, b, 0)
+
+        def idx_w(b, t):
+            return (0, 0)
+
+    def dir_specs(idx):
+        return [
+            pl.BlockSpec((1, rows, fourH), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fourH, H), idx_w, memory_space=pltpu.VMEM),
+        ]
+
+    dxp_f, dw_f, dxp_b, dw_b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=dir_specs(idx_f) + dir_specs(idx_b),
+        out_specs=(
+            pl.BlockSpec((1, rows, fourH), idx_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, fourH), idx_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, fourH), idx_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, fourH), idx_w, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((rows, H), jnp.float32) for _ in range(4)],
+        interpret=interpret,
+        **_vmem_params(interpret),
+    )(gates_f, cp_f, hp_f, do_f, w4h_f, gates_b, cp_b, hp_b, do_b, w4h_b)
+    return (jnp.swapaxes(dxp_f, 0, 1), dw_f.astype(w_hh_f_t.dtype),
+            jnp.swapaxes(dxp_b, 0, 1), dw_b.astype(w_hh_b_t.dtype))
 
 
 # ---------------------------------------------------------------------------
