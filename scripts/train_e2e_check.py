@@ -29,14 +29,11 @@ from urgent2026_challenge_track1_tpu.utils import audio_io
 
 
 def speechlike(rng, fs, seconds, f0):
-    """Harmonic voiced signal with syllabic modulation + breath noise."""
-    t = np.arange(int(fs * seconds)) / fs
-    f0_t = f0 * (1.0 + 0.08 * np.sin(2 * np.pi * 2.1 * t))
-    phase = 2 * np.pi * np.cumsum(f0_t) / fs
-    x = sum(np.sin(k * phase) / k for k in range(1, 6))
-    env = np.clip(np.sin(2 * np.pi * 1.9 * t) ** 2 + 0.05, 0, None)
-    x = env * x + 0.01 * rng.standard_normal(t.size)
-    return (0.3 * x / np.abs(x).max()).astype(np.float32)
+    """Formant-synthesized pseudo-speech (utils/speech_synth.py) — real
+    syllabic rhythm + formant structure so ESTOI/PESQ discriminate."""
+    from urgent2026_challenge_track1_tpu.utils.speech_synth import synth_speech
+
+    return synth_speech(rng, fs, seconds, f0)
 
 
 def build_train_sources(root: Path, fs=16000, seconds=4, n_speech=48):

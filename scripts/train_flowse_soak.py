@@ -42,7 +42,12 @@ SECONDS = 2
 
 def build_pool(root: Path, n_train=160, n_val=6):
     marker = root / ".pool_done"
+    # v2: formant-synthesizer pool (round 4) — refuse stale old-generator pools
     if marker.exists():
+        if marker.read_text().strip() != "v2":
+            raise SystemExit(
+                f"workdir {root} holds a pool from the old generator — "
+                "use a fresh --workdir")
         return
     for split, n in (("train", n_train), ("validation", n_val)):
         d = root / split
@@ -66,7 +71,7 @@ def build_pool(root: Path, n_train=160, n_val=6):
             print(uid, clean.size, file=scps["speech_length.scp"])
         for f in scps.values():
             f.close()
-    marker.write_text("ok")
+    marker.write_text("v2")
 
 
 def main():

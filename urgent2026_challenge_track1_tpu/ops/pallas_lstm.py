@@ -291,7 +291,9 @@ STREAM_INPUT_TRAIN = False
 # forward/backward of a differentiated bilstm_pallas (in practice: the BAND
 # recurrence — the time path routes through bilstm_masked) run both
 # directions in ONE Pallas call each (_train_forward2/_lstm_train_bwd2)
-# instead of one call per direction.  Read at trace time by both VJP rules.
+# instead of one call per direction.  Read at trace time by both VJP rules,
+# so flipping it does NOT affect already-compiled jitted functions — set it
+# before the first trace (the A/B script re-jits per arm for this reason).
 FUSED_BIDIR_TRAIN = False
 
 
@@ -893,6 +895,7 @@ def _lstm_train_bwd2(res_f, res_b, g_out_f, g_out_b, b_block, interpret):
         def idx_w(i):
             return (0, 0)
     else:
+        assert B % b_block == 0, (B, b_block)
         kernel, grid = _train_bwd2_kernel_blocked, (B // b_block, T)
         rows = b_block
 
