@@ -165,3 +165,29 @@ def test_mp_flowse_val_step_matches_single_device():
     )
     np.testing.assert_allclose(float(ref["loss"]), float(got["loss"]),
                                rtol=1e-5)
+
+
+def test_no_involuntary_rematerialization():
+    """The driver's multi-chip artifact must be GSPMD-warning-free (VERDICT
+    r3 item 5): the batch-only residual anchor in row_constrainer splits the
+    flat->factored reshard that used to hit "involuntary full
+    rematerialization" at the recurrence concat.  Runs the REAL
+    ``dryrun_multichip`` in a subprocess (the warning is a C++ LOG to
+    stderr, invisible in-process) and asserts the log is clean."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "Involuntary full rematerialization" not in proc.stderr, (
+        proc.stderr[-4000:]
+    )

@@ -420,9 +420,18 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
         h = bilstm_pallas(layer["rnn_time"], seq)
     else:
         h = lstm_ops.bilstm(layer["rnn_time"], seq)
+    if constrain is not None:
+        # re-anchor the recurrence output on the rows sharding: without
+        # this, the band-path layout back-propagates onto the fwd/bwd
+        # concat inside bilstm and GSPMD falls back to "involuntary full
+        # rematerialization" (replicate + repartition) AT the concatenate;
+        # constraining h makes the reshard a plain copy on this boundary
+        h = constrain(h)
     h = jnp.dot(h, layer["fc_time_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_time_b"]
     z = z + h.reshape(B, K, T, N).transpose(0, 2, 1, 3)
+    if constrain is not None:
+        z = constrain(z, "anchor")  # canonical batch-only residual layout
     # --- band path --- (the band recurrence runs over K per frame: padded
     # frames are independent batch rows there and cannot leak into valid ones)
     if cfg.streaming_norm:
@@ -451,9 +460,13 @@ def _dual_path_layer(z, layer, cfg: BSRNNConfig, t: Optional[jnp.ndarray], eps,
         h = bilstm_pallas(layer["rnn_freq"], seq)
     else:
         h = lstm_ops.bilstm(layer["rnn_freq"], seq)
+    if constrain is not None:
+        h = constrain(h)  # same re-anchor as the time path (see above)
     h = jnp.dot(h, layer["fc_freq_w"].astype(cdtype),
                 preferred_element_type=jnp.float32) + layer["fc_freq_b"]
     z = z + h.reshape(B, T, K, N)
+    if constrain is not None:
+        z = constrain(z, "anchor")
     if want_state:
         return z, new_state
     return z

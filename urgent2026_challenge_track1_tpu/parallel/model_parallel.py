@@ -31,15 +31,20 @@ before changing this.
 Reference surface match: inference.py:30-33 (single-GPU enhancement); this
 is an additive capability, not a behavior deviation.
 
-Known cosmetic warning (investigated, fix rejected): at degenerate dryrun
-shapes the flowse sampler's remat region logs one GSPMD "involuntary full
-rematerialization" for the bilstm fwd/bwd concat (time->band constraint
-back-propagation).  It does NOT appear at the tested serving shapes
-(tests/test_model_parallel.py).  Anchoring the residual z on the band
-layout (and/or a post-scan batch-only layout) removes the warning but
-pushes transposed layouts into the STFT rfft, which XLA's CPU fft thunk
-rejects at runtime (RET_CHECK IsMonotonicWithDim0Major) — breaking every
-CPU-mesh test.  Re-attempt only with multi-chip hardware to measure on.
+Residual-stream anchoring (round 4): the flat dp*mp rows sharding and the
+factored (dp, mp) path shardings pad unevenly whenever K or T isn't a
+multiple of mp, and GSPMD's direct flat->factored reshard fell back to
+"involuntary full rematerialization" (replicate + repartition) at the
+bilstm fwd/bwd concat — at EVERY shape, not just degenerate ones (round-3's
+shape-dependence claim did not reproduce).  The fix re-anchors the residual
+z on a batch-only (dp, None, None, None) layout after each path's residual
+add ("anchor" in ``row_constrainer``), splitting the bad jump into
+merge-to-dp + split-to-factored, both of which GSPMD lowers to plain
+collectives.  Batch-only anchoring keeps every shard dim0-major, so the
+XLA:CPU fft thunk restriction (RET_CHECK IsMonotonicWithDim0Major) that
+sank the earlier band-layout anchor attempt does not trigger; the absence
+of the warning is pinned by tests/test_model_parallel.py::
+test_no_involuntary_rematerialization.
 """
 
 from __future__ import annotations
@@ -84,6 +89,14 @@ def row_constrainer(mesh: Mesh, axes=("dp", "mp")):
     path_sh = {
         "time": NamedSharding(mesh, P(dp, None, mp, None)),
         "band": NamedSharding(mesh, P(dp, mp, None, None)),
+        # canonical residual-stream anchor (batch over dp only): the flat
+        # 8-way rows sharding and the factored (dp, mp) path shardings pad
+        # unevenly when K/T aren't multiples of mp, and GSPMD's direct
+        # flat->factored reshard falls back to "involuntary full
+        # rematerialization" at the recurrence concat.  Re-anchoring z after
+        # each path splits that jump into merge-to-dp + split-to-factored,
+        # both of which GSPMD handles without replication.
+        "anchor": NamedSharding(mesh, P(dp, None, None, None)),
     }
 
     def constrain(x: jnp.ndarray, path: Optional[str] = None) -> jnp.ndarray:
