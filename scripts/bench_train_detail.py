@@ -97,6 +97,14 @@ def main():
 
     results = {}
 
+    # --- null dispatch: the remote-tunnel round-trip floor.  Every timed
+    # call below pays this constant once; absolute attributions must
+    # subtract it (the round-4 first run summed components to 233 ms vs a
+    # 145 ms whole precisely because of this) ---
+    null_fn = jax.jit(lambda x: x + 1.0)
+    results["null"] = timeit(null_fn, jnp.zeros((8,), jnp.float32),
+                             reps=args.reps)
+
     # --- full step (donating: feed copies, chain the state through the loop) ---
     step = TR.make_train_step(bundle, optimizer, cfg, fs)
     copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
@@ -199,17 +207,22 @@ def main():
 
     # --- report ---
     dev = jax.devices()[0].platform
+    null = results["null"]
     print(f"\n== masked train step breakdown ({dev}, B={B}, {args.seconds}s "
-          f"@ {fs} Hz, frames={n_frames}, K={K}) ==")
+          f"@ {fs} Hz, frames={n_frames}, K={K}; dispatch floor "
+          f"{null*1e3:.1f} ms subtracted in 'net') ==")
+    step_net = results["step"] - null
     for k in ("step", "grad", "fwd", "opt", "rec", "bsdec", "stft", "loss"):
-        print(f"  {k:6s} {results[k]*1e3:8.1f} ms"
-              f"   ({100*results[k]/results['step']:5.1f}% of step)")
-    acc = sum(results[k] for k in ("rec", "bsdec", "stft", "loss"))
-    print(f"  components (rec+bsdec+stft+loss): {acc*1e3:.1f} ms "
-          f"vs grad {results['grad']*1e3:.1f} ms "
-          f"(residual {(results['grad']-acc)*1e3:+.1f} ms)")
-    print(f"  bwd/fwd ratio: {results['grad']/results['fwd']:.2f}; "
-          f"optimizer+guards: {results['opt']*1e3:.1f} ms")
+        net = results[k] - null
+        print(f"  {k:6s} {results[k]*1e3:8.1f} ms  net {net*1e3:8.1f} ms"
+              f"   ({100*net/step_net:5.1f}% of net step)")
+    acc = sum(results[k] - null for k in ("rec", "bsdec", "stft", "loss"))
+    print(f"  net components (rec+bsdec+stft+loss): {acc*1e3:.1f} ms "
+          f"vs net grad {(results['grad']-null)*1e3:.1f} ms "
+          f"(residual {(results['grad']-null-acc)*1e3:+.1f} ms)")
+    print(f"  net bwd/fwd ratio: "
+          f"{(results['grad']-null)/(results['fwd']-null):.2f}; "
+          f"net optimizer+guards: {(results['opt']-null)*1e3:.1f} ms")
     import json
 
     print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
