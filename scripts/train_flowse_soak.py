@@ -81,6 +81,14 @@ def main():
     ap.add_argument("--restart-seconds", type=int, default=1500)
     ap.add_argument("--hidden", type=int, default=192)
     ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--rates", type=str, default="",
+                    help="comma-separated sampling rates; default single-fs "
+                         "16000 pool. Passing e.g. 16000,44100,48000 trains "
+                         "the generative family across fs-grouped buckets so "
+                         "the scaled n_fft=1536 odd geometries run on-chip "
+                         "(VERDICT r3 item 6; flow_model.py fs-scaled STFT)")
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--save_top_k", type=int, default=2)
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
 
@@ -89,7 +97,15 @@ def main():
     if args.report_only:
         report(exp_dir)
         return
-    build_pool(work)
+    rates = tuple(int(r) for r in args.rates.split(",") if r)
+    if rates and rates != (FS,):
+        # multi-fs pool: reuse the multifs soak's builder (same layout,
+        # one sub-pool per fs; GroupedBatchSampler groups batches by fs)
+        from train_multifs_soak import build_pool as mf_build_pool
+
+        mf_build_pool(work, rates)
+    else:
+        build_pool(work)
 
     import yaml
 
@@ -97,7 +113,7 @@ def main():
     base.update(
         train_set_path=str(work / "train"),
         valid_set_path=str(work / "validation"),
-        batch_size=2,
+        batch_size=args.batch_size,
         num_train_epochs=100000,
         # stretch the per-epoch StepLR to the soak's tiny (~250-step)
         # epochs, else lr decays to ~0 within a few thousand steps (the
@@ -108,7 +124,7 @@ def main():
         num_worker=2,
         compute_dtype="bfloat16",
         log_every_steps=10,
-        save_top_k=2,
+        save_top_k=args.save_top_k,
         bsrnn_hidden=args.hidden,
         num_layer=args.layers,
     )
