@@ -235,7 +235,7 @@ def test_render_batch_sampled_op_order(sig):
     # manual ground truth for item1's order (clip before bw), pre-normalization
     mixed_pre, noise_scaled = dev.mix_at_snr(speeches, noises, snr)
     x = dev.quantile_clip(mixed_pre, clip_lo, clip_hi)
-    x = jnp.fft.irfft(jnp.fft.rfft(x, T) * bw_mask, T)
+    x = dev.bandwidth_mask_apply(x, jnp.asarray(bw_mask))
     x = dev.apply_packet_loss(x, jnp.asarray(packet_mask))
     peak = jnp.maximum(
         jnp.max(jnp.abs(x), -1),
@@ -243,3 +243,38 @@ def test_render_batch_sampled_op_order(sig):
     )
     manual = np.asarray(x * (0.9 / jnp.maximum(peak, 1e-6))[:, None])
     np.testing.assert_allclose(mixed[1], manual[1], atol=1e-5)
+
+
+def test_bandwidth_mask_apply_pow2_grid():
+    """The pow2-grid bandwidth op (TPU avoids Bluestein at odd T): an
+    all-ones mask is a bit-exact identity, and a real cutoff matches the
+    direct circular-T brickwall closely away from the edges while killing
+    the stop band."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    fs, T = 16000, 24000          # 1.5 s: NOT a power of two
+    B = 2
+    x = rng.standard_normal((B, T)).astype(np.float32)
+    freqs = np.fft.rfftfreq(T, 1.0 / fs)
+
+    ones = jnp.asarray(np.ones((B, T // 2 + 1), np.float32))
+    out = np.asarray(dev.bandwidth_mask_apply(jnp.asarray(x), ones))
+    np.testing.assert_allclose(out, x, atol=2e-6)
+
+    bw = 4000.0  # keep content below bw/2
+    mask = jnp.asarray(np.tile((freqs <= bw / 2).astype(np.float32), (B, 1)))
+    y = np.asarray(dev.bandwidth_mask_apply(jnp.asarray(x), mask))
+    Y = np.fft.rfft(y, axis=-1)
+    # stop band suppressed by orders of magnitude (not bit-zero: the pow2
+    # grid's brickwall lands within one T-grid bin of the requested cutoff)
+    stop = np.abs(Y[:, freqs > bw / 2 + 100.0])
+    passband = np.abs(Y[:, freqs <= bw / 2 - 50.0])
+    assert stop.max() < 0.02 * passband.mean()
+    # and the passband matches the direct circular version
+    y_circ = np.asarray(
+        jnp.fft.irfft(jnp.fft.rfft(jnp.asarray(x), T) * mask, T))
+    Yc = np.fft.rfft(y_circ, axis=-1)
+    band = freqs <= bw / 2 - 50.0
+    np.testing.assert_allclose(
+        np.abs(Y[:, band]), np.abs(Yc[:, band]), rtol=0.2, atol=2.0)

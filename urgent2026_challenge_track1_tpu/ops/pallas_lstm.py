@@ -691,6 +691,7 @@ def _lstm_train_bwd(reverse, b_block, interpret, res, g_out):
             **_vmem_params(interpret),
         )(gates, c_prev, h_prev, douts, w4h)
     else:
+        assert B % b_block == 0, (B, b_block)
         nb = B // b_block
 
         def idx_b(b, t):
@@ -1232,6 +1233,7 @@ def _revmasked_bwd(b_block, interpret, res, g_out):
             **_vmem_params(interpret),
         )(gates, c_prev, h_prev, lens, douts, w4h)
     else:
+        assert B % b_block == 0, (B, b_block)
         nb = B // b_block
 
         def kern_b(gates_ref, cprev_ref, hprev_ref, len_ref, dout_ref, w4h_ref,

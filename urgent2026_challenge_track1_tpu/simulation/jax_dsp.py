@@ -36,6 +36,7 @@ __all__ = [
     "early_rir_mask",
     "quantile_clip",
     "apply_packet_loss",
+    "bandwidth_mask_apply",
     "bandwidth_lowpass",
     "high_pass",
     "render_batch",
@@ -161,6 +162,30 @@ def quantile_clip(
     return jax.vmap(one)(x, min_q, max_q, jnp.asarray(lengths))
 
 
+def bandwidth_mask_apply(x: jnp.ndarray, bw_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-item brickwall low-pass from a (B, T//2+1) prefix-of-ones mask.
+
+    At non-power-of-two bucket lengths (e.g. 2 s @ 48 kHz -> T=96000) the
+    direct ``rfft(x, T)`` lowers to Bluestein on TPU — two pow2 transforms
+    of >=2T plus chirp multiplies, per evaluation, and the sampled
+    ``aug_order`` path evaluates the op three times per batch.  Instead the
+    transform runs on the next power-of-two grid (zero-padded, truncated
+    back to T), with the mask rebuilt on that grid from its cutoff-bin
+    count (exact for the prefix masks collate_device_render builds; an
+    all-ones mask stays a bit-exact identity).  Zero-padding also turns the
+    circular frequency-sampling filter into (time-aliased) linear
+    convolution — closer to the host renderer's actual resample-based
+    bandwidth limitation (simulation/dsp.py) than the circular variant."""
+    T = x.shape[-1]
+    if T & (T - 1) == 0:
+        return jnp.fft.irfft(jnp.fft.rfft(x, T) * bw_mask, T)
+    nfft = 1 << int(np.ceil(np.log2(T)))
+    cut = jnp.sum(bw_mask, -1, keepdims=True)          # cutoff bin count (T grid)
+    j = jnp.arange(nfft // 2 + 1, dtype=jnp.float32)[None, :]
+    mask_n = (j * (T / nfft) < cut).astype(x.dtype)
+    return jnp.fft.irfft(jnp.fft.rfft(x, nfft) * mask_n, nfft)[..., :T]
+
+
 def apply_packet_loss(x: jnp.ndarray, packet_mask: jnp.ndarray) -> jnp.ndarray:
     """Zero packets: packet_mask (B, n_packets) 1=keep; 20 ms packets."""
     B, T = x.shape
@@ -254,7 +279,7 @@ def render_batch(
 
     def op_bw(x):
         # bandwidth limitation via per-item rfft masks
-        return jnp.fft.irfft(jnp.fft.rfft(x, T) * bw_mask, T)
+        return bandwidth_mask_apply(x, bw_mask)
 
     def op_clip(x):
         return quantile_clip(x, clip_lo, clip_hi, lengths=lengths)
