@@ -297,3 +297,67 @@ def test_fit_on_mp_mesh(toy_dirs, tmp_path, monkeypatch):
         rows = [json.loads(l) for l in f]
     losses = [r["train_loss"] for r in rows if "train_loss" in r]
     assert losses and all(np.isfinite(v) for v in losses)
+
+
+def test_flowse_validate_samples_each_fs(tmp_path, monkeypatch):
+    """fs-grouped val sets get a sampler SI-SNR per sampling rate, not just
+    batch 0's (round-4 multi-fs flowse soak: only val_sisnr_44100 appeared
+    because batch 0 was always the 44.1 kHz bucket).  val_sisnr keeps the
+    reference's batch-0 meaning (flow_model.py:220-230)."""
+    monkeypatch.chdir(tmp_path)
+    from urgent2026_challenge_track1_tpu.data import AudioDataModule
+    from urgent2026_challenge_track1_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(1)
+
+    def make(dirname, rates):
+        root = tmp_path / dirname
+        root.mkdir()
+        scps = {k: open(root / k, "w")
+                for k in ("spk1.scp", "wav.scp", "utt2fs", "speech_length.scp")}
+        for j, fs in enumerate(rates):
+            for i in range(2):
+                T = fs // 2
+                uid = f"{dirname}{j}{i}"
+                clean = (0.1 * rng.standard_normal(T)).astype(np.float32)
+                noisy = clean + (0.05 * rng.standard_normal(T)).astype(np.float32)
+                cp, np_p = root / f"{uid}_c.wav", root / f"{uid}_n.wav"
+                sf.write(cp, clean, fs)
+                sf.write(np_p, noisy, fs)
+                print(uid, cp, file=scps["spk1.scp"])
+                print(uid, np_p, file=scps["wav.scp"])
+                print(uid, fs, file=scps["utt2fs"])
+                print(uid, T, file=scps["speech_length.scp"])
+        for f in scps.values():
+            f.close()
+        return str(root)
+
+    train_dir = make("tr2", (8000,))
+    valid_dir = make("va2", (8000, 16000))
+    cfg = Config(
+        train_set_path=train_dir,
+        valid_set_path=valid_dir,
+        train_set_dynamic_mixing=False,
+        batch_size=2,
+        num_worker=2,
+        num_train_epochs=1,
+        val_check_interval=100,
+        max_duration=16000,
+        model_type="flowse",
+        n_fft=960,
+        hop_length=480,
+        bsrnn_hidden=8,
+        num_layer=1,
+        mesh_shape="dp=2",
+        log_every_steps=1,
+        save_top_k=1,
+        train_tag="test_flow_fsval",
+    )
+    trainer = Trainer(cfg, AudioDataModule(cfg))
+    vm = trainer.validate(trainer.init_state())
+    assert "val_sisnr_8000" in vm and "val_sisnr_16000" in vm, vm
+    assert np.isfinite(vm["val_sisnr_8000"])
+    assert np.isfinite(vm["val_sisnr_16000"])
+    # batch-0 semantics: val_sisnr is the FIRST sampled batch's value
+    assert vm["val_sisnr"] in (
+        vm["val_sisnr_8000"], vm["val_sisnr_16000"]), vm

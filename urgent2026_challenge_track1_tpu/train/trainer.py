@@ -566,15 +566,20 @@ class Trainer:
         # per-fs accumulators: the reference logs {stage}_sisnr_{fs} for val
         # too (d_model.py:82-87) so per-rate regressions stay visible
         fs_totals, fs_counts = {}, {}
+        first_flow_sisnr = None
         key = jax.random.PRNGKey(0)
         for clean, noisy, fs, lengths in self.dm.val_dataloader():
             step_fn = self._get_val_step(fs)
             batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0], lengths))
             key, sub = jax.random.split(key)
             m = step_fn(params, sub, *batch)
-            if count == 0 and self.bundle.kind == "flowse":
+            if self.bundle.kind == "flowse" and fs not in fs_totals:
                 # reference flow_model.py:220-230: batch 0 additionally runs
-                # the N=10 Euler sampler and logs its SI-SNR
+                # the N=10 Euler sampler and logs its SI-SNR.  Extended to
+                # the FIRST batch of EACH sampling rate so fs-grouped val
+                # sets get a per-fs sampler curve (val_sisnr_{fs}) — the
+                # reference's single-fs behavior is the count==0 special
+                # case, and val_sisnr keeps its batch-0 meaning below.
                 key, sub2 = jax.random.split(key)
                 enhanced = flow_mod.flowse_enhance(
                     params, self.bundle.model_cfg, sub2, batch[1], fs, N=10,
@@ -582,6 +587,8 @@ class Trainer:
                 )
                 m = dict(m)
                 m["sisnr"] = losses.si_snr(batch[0], enhanced, batch[2]).mean()
+                if first_flow_sisnr is None:
+                    first_flow_sisnr = float(m["sisnr"])
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             if "sisnr" in m:
@@ -592,7 +599,7 @@ class Trainer:
             return {"val_loss": float("inf")}
         out = {f"val_{k}": v / count for k, v in totals.items()}
         if "val_sisnr" in out and self.bundle.kind == "flowse":
-            out["val_sisnr"] = totals["sisnr"]  # batch-0 value, not a mean
+            out["val_sisnr"] = first_flow_sisnr  # batch-0 value, not a mean
         for fs, tot in fs_totals.items():
             out[f"val_sisnr_{fs}"] = tot / fs_counts[fs]
         return out
