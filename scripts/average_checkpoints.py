@@ -109,6 +109,12 @@ def average_checkpoints(ckpt_dir: str, output: str, top_k: int = 3,
 
 
 def main():
+    # host-side utility: averaging must not round-trip every leaf through
+    # the remote-TPU tunnel (the sitecustomize pins JAX_PLATFORMS=axon;
+    # this in-process override is the only reliable CPU route — CLAUDE.md)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt_dir", required=True,
                     help="orbax manager root (e.g. .../checkpoints)")
