@@ -86,6 +86,19 @@ def main():
     grid = [int(n) for n in args.grid.split(",") if n] or list(GRID_NS)
     clean, noisy = val_set()
     lengths = jnp.full((N_UTTS,), clean.shape[1], jnp.int32)
+    # noisy-input baseline row: without it the artifact cannot show whether
+    # enhancement beats the unprocessed input on each metric
+    noisy_base = {
+        "solver": "noisy-input", "grid_N": 0, "nfe": 0,
+        "si_snr": round(float(np.mean(np.asarray(
+            si_snr(jnp.asarray(clean), jnp.asarray(noisy))))), 3),
+        "pesq_wb": round(float(np.mean(
+            [pesq_metric(clean[i], noisy[i], FS) for i in range(N_UTTS)])), 3),
+        "estoi": round(float(np.mean(
+            [stoi(clean[i], noisy[i], FS, extended=True)
+             for i in range(N_UTTS)])), 4),
+    }
+    print(noisy_base, flush=True)
     rows = []
     for solver in SOLVERS:
         for N in grid:
@@ -116,7 +129,8 @@ def main():
     best = max(rows, key=lambda r: (r["pesq_wb"], -r["nfe"]))
     print("\nrecommended (solver, grid_N):", best["solver"], best["grid_N"],
           f"(NFE {best['nfe']}, PESQ {best['pesq_wb']}, SI-SNR {best['si_snr']})")
-    Path(args.out).write_text(json.dumps({"rows": rows, "best": best}, indent=1))
+    Path(args.out).write_text(json.dumps(
+        {"noisy_input": noisy_base, "rows": rows, "best": best}, indent=1))
 
 
 if __name__ == "__main__":
