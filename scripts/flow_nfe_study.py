@@ -36,7 +36,7 @@ EVALS_PER_STEP = {"euler": 1, "midpoint": 2, "heun": 2}
 
 def val_set():
     sys.path.insert(0, str(REPO / "scripts"))
-    from train_multifs_soak import colored_noise, speechlike
+    from train_multifs_soak import colored_noise, mix_at_nominal_snr, speechlike
 
     rng = np.random.default_rng(5)
     cleans, noisys = [], []
@@ -44,8 +44,7 @@ def val_set():
         c = speechlike(rng, FS, SECONDS, 105 + 13 * i)
         snr = 2.0 + 2.0 * i  # 2..16 dB
         n = colored_noise(rng, c.size, 0.6)
-        act = np.std(c[np.abs(c) > 0.01])
-        noisys.append(c + act * 10 ** (-snr / 20) * n)
+        noisys.append(mix_at_nominal_snr(c, n, snr))
         cleans.append(c)
     return np.stack(cleans), np.stack(noisys).astype(np.float32)
 

@@ -45,12 +45,17 @@ N_TEST_PER_FS = 2
 def build_pools(work: Path):
     """Paired train/validation pools + a held-out 7-rate inference set with
     a simulation-style meta.tsv for get_breakdown."""
-    from train_multifs_soak import colored_noise
+    from train_multifs_soak import colored_noise, mix_at_nominal_snr
     from urgent2026_challenge_track1_tpu.utils import audio_io
     from urgent2026_challenge_track1_tpu.utils.speech_synth import synth_speech
 
     marker = work / ".pool_done"
+    # v2: spec-SNR mixing (v1 landed ~11 dB milder than nominal)
     if marker.exists():
+        if marker.read_text().strip() != "v2":
+            raise SystemExit(
+                f"workdir {work} holds a stale pool (old mixing) — "
+                "use a fresh --workdir")
         return
     splits = (("train", N_TRAIN_PER_FS), ("validation", N_VAL_PER_FS),
               ("test", N_TEST_PER_FS))
@@ -69,9 +74,7 @@ def build_pools(work: Path):
                 snr_db = float(rng.uniform(2.0, 14.0))
                 noise = colored_noise(rng, clean.size,
                                       0.5 + 0.3 * rng.random())
-                act = np.std(clean[np.abs(clean) > 0.01])
-                noisy = (clean + act * 10 ** (-snr_db / 20) * noise
-                         ).astype(np.float32)
+                noisy = mix_at_nominal_snr(clean, noise, snr_db)
                 cp, np_ = d / f"{uid}_c.wav", d / f"{uid}_n.wav"
                 audio_io.write(str(cp), clean, fs)
                 audio_io.write(str(np_), noisy, fs)
@@ -101,7 +104,7 @@ def build_pools(work: Path):
     with open(work / "test" / "text", "w") as f:
         for row in meta_rows:
             print(row["id"], "synthetic formant speech", file=f)
-    marker.write_text("v1")
+    marker.write_text("v2")
 
 
 def run_cli(cmd, **kw):

@@ -55,7 +55,7 @@ ARMS = {
 
 def score_set():
     """Held-out scoring utterances (disjoint seeds from the training pool)."""
-    from train_multifs_soak import colored_noise, speechlike
+    from train_multifs_soak import colored_noise, mix_at_nominal_snr, speechlike
 
     rng = np.random.default_rng(9)
     cleans, noisys = [], []
@@ -63,8 +63,7 @@ def score_set():
         c = speechlike(rng, FS, SECONDS, 103 + 12 * i)
         snr = 2.0 + 2.0 * i  # 2..16 dB
         n = colored_noise(rng, c.size, 0.6)
-        act = np.std(c[np.abs(c) > 0.01])
-        noisys.append(c + act * 10 ** (-snr / 20) * n)
+        noisys.append(mix_at_nominal_snr(c, n, snr))
         cleans.append(c)
     return np.stack(cleans), np.stack(noisys).astype(np.float32)
 

@@ -59,12 +59,25 @@ def colored_noise(rng, n, pole):
     return (x / np.abs(x).max()).astype(np.float32)
 
 
+def mix_at_nominal_snr(clean, noise, snr_db):
+    """Host-spec SNR mixing: powers over non-silent regions on BOTH sides
+    (simulation/dsp.py mix_noise, mirroring the reference's mix).  The v2
+    pools scaled max-normalized noise by the active-speech STD instead,
+    which landed ~11 dB milder than the nominal label (noisy ESTOI ~0.94 —
+    no metric dynamic range).  v3 pools mix so nominal == effective."""
+    from urgent2026_challenge_track1_tpu.simulation.dsp import mix_noise
+
+    noisy, _ = mix_noise(clean[None, :].astype(np.float64),
+                         noise[None, :].astype(np.float64), float(snr_db))
+    return noisy[0].astype(np.float32)
+
+
 def build_pool(root: Path, rates=SAMPLE_RATES):
     """Pre-simulated paired pools across the requested sampling rates."""
     done_marker = root / ".pool_done"
-    # v2: pool audio switched to the formant synthesizer (round 4) —
-    # any marker without the v2 prefix is a stale old-generator pool
-    stamp = "v2:" + ",".join(str(r) for r in rates)
+    # v3: spec-SNR mixing (mix_at_nominal_snr); v2 was the formant
+    # synthesizer with ~11 dB-milder-than-nominal mixing — stale pools refused
+    stamp = "v3:" + ",".join(str(r) for r in rates)
     if done_marker.exists():
         have = done_marker.read_text().strip()
         if have != stamp:
@@ -84,8 +97,7 @@ def build_pool(root: Path, rates=SAMPLE_RATES):
                 clean = speechlike(rng, fs, SECONDS, 100 + 9 * (i % 25))
                 snr_db = rng.uniform(0.0, 15.0)
                 noise = colored_noise(rng, clean.size, 0.5 + 0.3 * rng.random())
-                act = np.std(clean[np.abs(clean) > 0.01])
-                noisy = clean + act * 10 ** (-snr_db / 20) * noise
+                noisy = mix_at_nominal_snr(clean, noise, snr_db)
                 cp, np_ = d / f"{uid}_c.wav", d / f"{uid}_n.wav"
                 audio_io.write(str(cp), clean, fs)
                 audio_io.write(str(np_), noisy.astype(np.float32), fs)
