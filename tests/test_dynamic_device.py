@@ -176,3 +176,124 @@ def test_parse_augmentation_ops_repeated_op_type():
     # none augmentation: canonical identity order
     q = parse_augmentation_ops("none", 16000)
     assert q["aug_order"] == [0, 1, 2] and q["bw_fs_new"] == 16000
+
+
+def test_fused_rendered_train_step_matches_separate(dm_sources):
+    """make_train_step_rendered (render fused into the jitted step, one
+    dispatch) must produce the same update as render_on_device followed by
+    the plain make_train_step on the rendered pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from urgent2026_challenge_track1_tpu.config import Config
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+    from urgent2026_challenge_track1_tpu.train import trainer as TR
+
+    np.random.seed(1)
+    ds = DynamicMixingSourceDataset(
+        speech_source_scp=dm_sources["speech"],
+        noise_source_scp=dm_sources["noise"],
+        rir_scp=dm_sources["rir"],
+        windnoise_scp=dm_sources["wind"],
+        speech_length_file=dm_sources["length"],
+        max_duration=16000,
+        use_high_pass=True,
+    )
+    items = [ds[i] for i in range(4)]
+    batch = collate_device_render(items)
+
+    cfg = Config(model_configs={"num_channel": 8, "num_layer": 1},
+                 use_high_pass=True)
+    bundle = TR.build_model(cfg)
+    params = M.init_bsrnn(jax.random.PRNGKey(0), bundle.model_cfg)
+    opt = TR.make_optimizer(cfg)
+    key = jax.random.PRNGKey(2)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+
+    # separate: render dispatch + plain step
+    target, noisy = render_on_device(batch, highpass=True)
+    lengths = jnp.asarray(batch["lengths"], np.int32)
+    sep_step = TR.make_train_step(bundle, opt, cfg, batch["fs"])
+    p_sep, s_sep, _, m_sep = sep_step(
+        copy(params), opt.init(copy(params)), None, key, target, noisy, lengths
+    )
+
+    # fused: one program
+    fused_step = TR.make_train_step_rendered(bundle, opt, cfg, batch["fs"])
+    arrays = tuple(jnp.asarray(batch[k]) for k in TR.RENDER_KEYS)
+    p_f, s_f, _, m_f = fused_step(
+        copy(params), opt.init(copy(params)), None, key, *arrays
+    )
+
+    assert np.isfinite(float(m_f["loss"]))
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_sep["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_sep), jax.tree.leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_trainer_fit_device_dm(dm_sources, tmp_path, monkeypatch):
+    """Trainer.fit end-to-end with dynamic_mixing_on_device=True routes
+    batches through the fused rendered step and trains finite."""
+    import json
+    import os
+    import shutil
+
+    monkeypatch.chdir(tmp_path)
+    from urgent2026_challenge_track1_tpu.config import Config
+    from urgent2026_challenge_track1_tpu.data import AudioDataModule
+    from urgent2026_challenge_track1_tpu.train.trainer import Trainer
+
+    # AudioDataModule expects the train_sources directory layout
+    src = tmp_path / "train_sources"
+    src.mkdir()
+    shutil.copy(dm_sources["speech"], src / "speech_sources.scp")
+    shutil.copy(dm_sources["noise"], src / "noise_scoures.scp")
+    shutil.copy(dm_sources["rir"], src / "rirs.scp")
+    shutil.copy(dm_sources["wind"], src / "wind_noise_scoures.scp")
+    shutil.copy(dm_sources["length"], src / "source_length.scp")
+    # tiny pre-simulated val dir
+    val = tmp_path / "val"
+    val.mkdir()
+    rng = np.random.default_rng(3)
+    scps = {k: open(val / k, "w")
+            for k in ("spk1.scp", "wav.scp", "utt2fs", "speech_length.scp")}
+    for i in range(2):
+        uid = f"v{i}"
+        clean = (0.1 * rng.standard_normal(8000)).astype(np.float32)
+        noisy = clean + (0.03 * rng.standard_normal(8000)).astype(np.float32)
+        cp, npp = val / f"{uid}_c.wav", val / f"{uid}_n.wav"
+        audio_io.write(str(cp), clean, 16000)
+        audio_io.write(str(npp), noisy, 16000)
+        print(uid, cp, file=scps["spk1.scp"])
+        print(uid, npp, file=scps["wav.scp"])
+        print(uid, 16000, file=scps["utt2fs"])
+        print(uid, 8000, file=scps["speech_length.scp"])
+    for f in scps.values():
+        f.close()
+
+    np.random.seed(2)
+    cfg = Config(
+        model_configs={"num_channel": 8, "num_layer": 1},
+        train_set_dynamic_mixing=True,
+        dynamic_mixing_on_device=True,
+        train_set_path=str(src),
+        valid_set_path=str(val),
+        batch_size=2,
+        num_train_epochs=1,
+        max_duration=16000,
+        num_worker=0,
+        val_check_interval=1000,
+        log_every_steps=1,
+        mesh_shape="dp=2",
+        train_tag="test_run_devdm",
+    )
+    dm = AudioDataModule(cfg)
+    trainer = Trainer(cfg, dm)
+    state = trainer.fit()
+    assert state.step == 2
+    with open(os.path.join(trainer.exp_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    losses = [r["train_loss"] for r in rows if "train_loss" in r]
+    assert losses and all(np.isfinite(v) for v in losses)

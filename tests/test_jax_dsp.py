@@ -278,3 +278,37 @@ def test_bandwidth_mask_apply_pow2_grid():
     band = freqs <= bw / 2 - 50.0
     np.testing.assert_allclose(
         np.abs(Y[:, band]), np.abs(Yc[:, band]), rtol=0.2, atol=2.0)
+
+
+def test_bandwidth_mask_prefix_contract():
+    """ADVICE r4: bandwidth_mask_apply reconstructs the pow2-grid mask from
+    sum(bw_mask) alone, which is exact ONLY for prefix-of-ones masks (the
+    only kind collate_device_render builds).  Pin the contract: (a) the
+    collate-style mask is a prefix mask per is_prefix_mask; (b) a non-prefix
+    (band-stop) mask at non-pow2 T is NOT faithfully applied — so any future
+    soft/band-stop mask must fail this check loudly instead of silently
+    rendering wrong audio."""
+    import numpy as np
+
+    fs, T = 16000, 24000  # non-pow2
+    freqs = np.fft.rfftfreq(T, 1.0 / fs)
+    prefix = np.tile((freqs <= 2000.0).astype(np.float32), (2, 1))
+    assert dev.is_prefix_mask(prefix)
+    assert dev.is_prefix_mask(np.ones((2, T // 2 + 1), np.float32))
+
+    bandstop = prefix.copy()
+    bandstop[:, freqs <= 1000.0] = 0.0  # kill DC..1 kHz: not a prefix mask
+    assert not dev.is_prefix_mask(bandstop)
+    soft = prefix * 0.5
+    assert not dev.is_prefix_mask(soft)
+
+    # demonstrate the silent misapplication the contract guards against: a
+    # faithful band-stop would null the low band; the pow2-grid path (mask
+    # rebuilt from sum alone) keeps it nearly intact
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, T)).astype(np.float32)
+    y_stop = np.asarray(dev.bandwidth_mask_apply(jnp.asarray(x), jnp.asarray(bandstop)))
+    low = freqs <= 900.0
+    e_in = np.abs(np.fft.rfft(x, axis=-1))[:, low].mean()
+    e_out = np.abs(np.fft.rfft(y_stop, axis=-1))[:, low].mean()
+    assert e_out > 0.5 * e_in  # low band survives == mask was misapplied

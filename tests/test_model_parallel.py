@@ -188,6 +188,17 @@ def test_no_involuntary_rematerialization():
         env=env, capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
+    # positive signal first (ADVICE r4): prove the dryrun actually exercised
+    # the mp paths this guard covers, so the negative assertion below cannot
+    # pass vacuously if dryrun_multichip is ever refactored
+    for want in ("discriminative ok", "flowse ok", "model-parallel"):
+        assert want in proc.stdout, (want, proc.stdout[-2000:])
+    # The exact warning string "Involuntary full rematerialization" is the
+    # spmd_partitioner C++ LOG observed under jax 0.9.0 / its bundled XLA
+    # (jaxlib 0.9.x, 2026-01).  If a future XLA rewords it, the positive
+    # asserts above still hold but this guard must be re-pinned — check
+    # xla/service/spmd/spmd_partitioner.cc for the current wording when
+    # bumping JAX.
     assert "Involuntary full rematerialization" not in proc.stderr, (
         proc.stderr[-4000:]
     )

@@ -165,6 +165,13 @@ def quantile_clip(
 def bandwidth_mask_apply(x: jnp.ndarray, bw_mask: jnp.ndarray) -> jnp.ndarray:
     """Per-item brickwall low-pass from a (B, T//2+1) prefix-of-ones mask.
 
+    CONTRACT: ``bw_mask`` must be a prefix-of-ones mask — ``1`` on bins
+    ``[0, cut)`` and ``0`` above, i.e. non-increasing along the last axis.
+    At non-pow2 T the mask is reconstructed on the pow2 grid from
+    ``sum(bw_mask)`` alone, so a band-stop or soft-rolloff mask would be
+    silently misapplied there; tests/test_jax_dsp.py pins the contract
+    (collate_device_render only ever builds prefix masks).
+
     At non-power-of-two bucket lengths (e.g. 2 s @ 48 kHz -> T=96000) the
     direct ``rfft(x, T)`` lowers to Bluestein on TPU — two pow2 transforms
     of >=2T plus chirp multiplies, per evaluation, and the sampled
@@ -184,6 +191,16 @@ def bandwidth_mask_apply(x: jnp.ndarray, bw_mask: jnp.ndarray) -> jnp.ndarray:
     j = jnp.arange(nfft // 2 + 1, dtype=jnp.float32)[None, :]
     mask_n = (j * (T / nfft) < cut).astype(x.dtype)
     return jnp.fft.irfft(jnp.fft.rfft(x, nfft) * mask_n, nfft)[..., :T]
+
+
+def is_prefix_mask(mask) -> bool:
+    """True iff every row of ``mask`` is a prefix-of-ones (non-increasing)
+     1/0 mask — the bandwidth_mask_apply contract.  Host-side helper for
+    tests and debug checks (cannot run on traced values inside jit)."""
+    m = np.asarray(mask)
+    return bool(
+        np.all((m == 0.0) | (m == 1.0)) and np.all(np.diff(m, axis=-1) <= 0)
+    )
 
 
 def apply_packet_loss(x: jnp.ndarray, packet_mask: jnp.ndarray) -> jnp.ndarray:

@@ -192,20 +192,7 @@ def _zero_nonfinite(grads):
 # ---------------------------------------------------------------------------
 
 
-def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int,
-                    constrain=None):
-    """Returns jitted (params, opt_state, ema, key, clean, noisy, lengths)
-    -> updated + metrics.  All loss/metric statistics are length-masked so
-    the static bucket padding never leaks into the numerics (reference
-    computes on exact batch-max-length signals, d_model.py:61-89).
-
-    ``constrain`` (parallel.model_parallel.row_constrainer) shards the
-    dual-path recurrence rows over a dp x mp mesh for model-parallel
-    training — activations (the ~14 GB @ B=2 bottleneck,
-    conf/models/BSRNN_baseline.yaml:11) split across chips while params
-    stay replicated; the backward pass inherits the same shardings."""
-    ema_decay = cfg.ema_decay
-
+def _make_loss_and_metrics(bundle: ModelBundle, fs: int, constrain=None):
     def loss_and_metrics(params, key, clean, noisy, lengths):
         if bundle.kind == "flowse":
             loss = flow_mod.flowse_loss(
@@ -226,27 +213,42 @@ def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int,
         sisnr = jax.lax.stop_gradient(losses.si_snr(clean, wav, lengths).mean())
         return loss, {"sisnr": sisnr}
 
-    # donate params/opt/ema buffers: the update happens in place on device,
-    # halving peak parameter memory
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, opt_state, ema_params, key, clean, noisy, lengths):
+    return loss_and_metrics
+
+
+def _step_core(loss_and_metrics, optimizer, ema_decay):
+    """Shared step body: grad, telemetry, TRUE-skip NaN guard, update, EMA.
+
+    NaN-guard design (semantics of the reference's Lightning guard, which
+    skips optimizer.step() entirely, d_model.py:36-59): a single per-leaf
+    sum-of-squares pass feeds BOTH the weighted grad-norm telemetry and the
+    finiteness flag — any non-finite gradient element makes its leaf norm
+    (and hence the weighted norm) non-finite, so ``bad`` needs no separate
+    stacked isfinite reduction.  Grads are NOT pre-zeroed; NaNs may flow
+    into the optimizer's candidate update, which is discarded wholesale by
+    gating params AND opt state back to their previous values.  (An
+    all-finite gradient whose global norm overflows f32 — |g| > ~2e19 —
+    also flags ``bad``; such a step is unusable anyway.)"""
+
+    def core(params, opt_state, ema_params, key, clean, noisy, lengths):
         (loss, extra), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
             params, key, clean, noisy, lengths
         )
-        gnorm = _weighted_grad_norm(grads)
-        grads, bad = _zero_nonfinite(grads)
+        leaves = jax.tree.leaves(grads)
+        sumsq = [jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves]
+        n = sum(g.size for g in leaves)
+        # reference Grad_norm: sum(||g_p|| * numel(p)) / sum(numel)
+        # (d_model.py:39-45)
+        gnorm = sum(jnp.sqrt(s) * g.size for s, g in zip(sumsq, leaves)) / (n + 1e-5)
+        bad = ~jnp.isfinite(gnorm)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        # TRUE skip semantics on a NaN-grad step (the reference's Lightning
-        # NaN guard skips optimizer.step() entirely): zeroed grads alone
-        # would still move params through Adam momentum + weight decay and
-        # advance the moments/count, so gate both the update and the state.
-        updates = jax.tree.map(
-            lambda u: jnp.where(bad, jnp.zeros_like(u), u), updates
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(
+            lambda old, new: jnp.where(bad, old, new), params, new_params
         )
         opt_state = jax.tree.map(
             lambda old, new: jnp.where(bad, old, new), opt_state, new_opt_state
         )
-        params = optax.apply_updates(params, updates)
         if ema_params is not None:
             ema_params = jax.tree.map(
                 lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema_params, params
@@ -254,7 +256,70 @@ def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int,
         metrics = {"loss": loss, "grad_norm": gnorm, "nan_grad": bad, **extra}
         return params, opt_state, ema_params, metrics
 
-    return step
+    return core
+
+
+def make_train_step(bundle: ModelBundle, optimizer, cfg: Config, fs: int,
+                    constrain=None):
+    """Returns jitted (params, opt_state, ema, key, clean, noisy, lengths)
+    -> updated + metrics.  All loss/metric statistics are length-masked so
+    the static bucket padding never leaks into the numerics (reference
+    computes on exact batch-max-length signals, d_model.py:61-89).
+
+    ``constrain`` (parallel.model_parallel.row_constrainer) shards the
+    dual-path recurrence rows over a dp x mp mesh for model-parallel
+    training — activations (the ~14 GB @ B=2 bottleneck,
+    conf/models/BSRNN_baseline.yaml:11) split across chips while params
+    stay replicated; the backward pass inherits the same shardings."""
+    core = _step_core(
+        _make_loss_and_metrics(bundle, fs, constrain), optimizer, cfg.ema_decay
+    )
+    # donate params/opt/ema buffers: the update happens in place on device,
+    # halving peak parameter memory
+    return jax.jit(core, donate_argnums=(0, 1, 2))
+
+
+# DeviceRenderBatch key order consumed by the fused rendered train step
+RENDER_KEYS = (
+    "speech", "noise", "rir", "snr_db", "use_rir", "clip_lo", "clip_hi",
+    "packet_mask", "bw_mask", "aug_order", "prerendered_mask", "clean_pre",
+    "noisy_pre", "lengths",
+)
+
+
+def make_train_step_rendered(bundle: ModelBundle, optimizer, cfg: Config,
+                             fs: int, constrain=None):
+    """Fused on-device dynamic mixing + training: ONE jitted program renders
+    the augmentation batch (simulation/jax_dsp.render_batch) and immediately
+    trains on it.
+
+    TPU-first rationale: a separate render dispatch pays the remote-tunnel
+    dispatch floor (~30-40 ms, multistream_r4.json) and an extra
+    HBM round-trip for the rendered pair every step; fusing makes the
+    device-DM step's overhead the render FLOPs only (train_supply_r5.json
+    A/B).  Signature: (params, opt_state, ema, key, *RENDER_KEYS arrays) ->
+    same outputs as make_train_step."""
+    from urgent2026_challenge_track1_tpu.simulation.jax_dsp import render_batch
+
+    core = _step_core(
+        _make_loss_and_metrics(bundle, fs, constrain), optimizer, cfg.ema_decay
+    )
+    highpass = bool(cfg.use_high_pass)
+
+    def step(params, opt_state, ema_params, key, speech, noise, rir, snr_db,
+             use_rir, clip_lo, clip_hi, packet_mask, bw_mask, aug_order,
+             pre_mask, clean_pre, noisy_pre, lengths):
+        target, noisy = render_batch(
+            speech, noise, rir, snr_db, use_rir, clip_lo, clip_hi,
+            packet_mask, bw_mask, fs=fs, highpass=highpass, lengths=lengths,
+            aug_order=aug_order,
+        )
+        m = pre_mask[:, None]
+        target = (1 - m) * target + m * clean_pre
+        noisy = (1 - m) * noisy + m * noisy_pre
+        return core(params, opt_state, ema_params, key, target, noisy, lengths)
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
 def make_val_step(bundle: ModelBundle, cfg: Config, fs: int, constrain=None):
@@ -544,6 +609,15 @@ class Trainer:
             )
         return self._train_steps[fs]
 
+    def _get_train_step_rendered(self, fs: int):
+        key = ("rendered", fs)
+        if key not in self._train_steps:
+            self._train_steps[key] = make_train_step_rendered(
+                self.bundle, self.optimizer, self.cfg, fs,
+                constrain=self._constrain,
+            )
+        return self._train_steps[key]
+
     def _get_val_step(self, fs: int):
         if fs not in self._val_steps:
             self._val_steps[fs] = make_val_step(
@@ -622,21 +696,16 @@ class Trainer:
             )
             for batch_item in loader:
                 if isinstance(batch_item, dict):
-                    # on-device dynamic mixing: render the augmentation batch
-                    # on the mesh, then train on the result (no host DSP)
-                    from urgent2026_challenge_track1_tpu.data.dynamic_device import (
-                        render_on_device,
-                    )
-
+                    # on-device dynamic mixing: rendering is FUSED into the
+                    # jitted train step (make_train_step_rendered) — one
+                    # dispatch per step, no separate render program or
+                    # intermediate HBM round-trip
                     fs = batch_item["fs"]
-                    lengths = batch_item["lengths"]
-                    target_dev, noisy_dev = render_on_device(
-                        batch_item, highpass=self.cfg.use_high_pass, mesh=self.mesh
-                    )
-                    clean = noisy = None
+                    render_arrays = tuple(batch_item[k] for k in RENDER_KEYS)
+                    clean = noisy = lengths = None
                 else:
                     clean, noisy, fs, lengths = batch_item
-                    target_dev = noisy_dev = None
+                    render_arrays = None
                 t0 = time.time()
                 # jax.profiler trace window (SURVEY.md §5: tracing as a
                 # first-class feature; the reference has none)
@@ -646,11 +715,11 @@ class Trainer:
                 elif profiling and state.step >= cfg.profile_start_step + cfg.profile_num_steps:
                     jax.profiler.stop_trace()
                     profiling = False
-                step_fn = self._get_train_step(fs)
-                if target_dev is not None:
-                    lengths_dev = shard_batch(self.mesh, np.asarray(lengths, np.int32))
-                    batch = (target_dev, noisy_dev, lengths_dev)
+                if render_arrays is not None:
+                    step_fn = self._get_train_step_rendered(fs)
+                    batch = shard_batch(self.mesh, render_arrays)
                 else:
+                    step_fn = self._get_train_step(fs)
                     batch = shard_batch(self.mesh, (clean[:, 0], noisy[:, 0], lengths))
                 sub = jax.random.fold_in(base_key, state.step)
                 state.params, state.opt_state, state.ema_params, metrics = step_fn(
