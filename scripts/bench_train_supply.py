@@ -10,15 +10,23 @@ x 6 layers, bf16):
 
   demand       the masked train step alone on a cached device batch
   presim       PreSimulatedDataset -> PrefetchLoader -> step
-  host_dm      DynamicMixingDataset (codec aug live) -> loader -> step
+  host_dm      DynamicMixingDataset (wind + codec augs live) -> loader -> step
   device_dm    DynamicMixingSourceDataset -> collate_device_render ->
-               render_on_device -> step (host only fetches raw sources)
+               render_on_device -> step (two dispatches; the r4 path)
+  device_dm_fused
+               same sources, but render FUSED into the jitted train step
+               (trainer.make_train_step_rendered): ONE dispatch per step
 
-For each supply path: loader-only throughput (samples/s), then an
-end-to-end loop with the REAL train step separating loader-wait from device
-time per step (blocking each step for clean attribution; the trainer's
-runahead_sync_steps=4 backpressure makes the unblocked rate sit between the
-e2e number and the pure-demand number).
+Each leg reports a *blocking* end-to-end pass (loader wait vs device time
+per step — clean attribution) AND a *pipelined* pass that mimics the
+production trainer loop: no per-step block, device run-ahead bounded by
+syncing every runahead_sync_steps=4 (Config default; the remote TPU worker
+crashes when dispatch runs tens of steps ahead — CLAUDE.md).  VERDICT r4
+item 2: the blocking numbers hid the real trainer rate (presim paid
+~160 ms/step of tunnel dispatch+h2d latency that pipelining hides).
+
+Wind (p=0.05) and codec (~25 % of items) stay LIVE in both DM legs (r4
+item 6); the recipe fractions actually drawn are recorded per leg.
 
 Usage: python scripts/bench_train_supply.py [--steps 24] [--cpu]
 """
@@ -123,7 +131,7 @@ def main():
     ap.add_argument("--num_workers", type=int, default=3)
     ap.add_argument("--cpu", action="store_true",
                     help="CPU smoke run (tiny model; plumbing check)")
-    ap.add_argument("--out", type=str, default="train_supply_r4.json")
+    ap.add_argument("--out", type=str, default="train_supply_r5.json")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -189,6 +197,33 @@ def main():
     print(f"demand: {t_step*1e3:.1f} ms/step -> {demand_sps/1e6:.2f} M samples/s")
     del p, o
 
+    fused_steps = {}  # shape-keyed by jit; one builder per process
+
+    def get_fused_step():
+        if "fn" not in fused_steps:
+            fused_steps["fn"] = TR.make_train_step_rendered(
+                bundle, optimizer, cfg, fs
+            )
+        return fused_steps["fn"]
+
+    recipe_counts = {}
+
+    def counting(ds_cls, leg_name):
+        """Wrap a DM dataset class so the wind/codec recipe draws actually
+        taken during the run are recorded (r4 item 6: prove they are live)."""
+        counts = recipe_counts.setdefault(
+            leg_name, {"items": 0, "wind": 0, "codec": 0})
+
+        class Counting(ds_cls):
+            def _sample_recipe(self):
+                use_wind, aug = super()._sample_recipe()
+                counts["items"] += 1
+                counts["wind"] += bool(use_wind)
+                counts["codec"] += "codec" in aug
+                return use_wind, aug
+
+        return Counting
+
     with tempfile.TemporaryDirectory() as td:
         td = Path(td)
         n_speech = max(args.steps * B + 2 * B, 32)
@@ -205,7 +240,7 @@ def main():
                                   use_processes=False)
 
         def host_dm_loader():
-            ds = DynamicMixingDataset(
+            ds = counting(DynamicMixingDataset, "host_dm")(
                 speech_source_scp=scps["speech"],
                 noise_source_scp=scps["noise"],
                 rir_scp=scps["rir"],
@@ -220,8 +255,8 @@ def main():
             return PrefetchLoader(ds, samp, num_workers=args.num_workers,
                                   use_processes=False)
 
-        def device_dm_loader():
-            ds = DynamicMixingSourceDataset(
+        def device_dm_loader(leg="device_dm"):
+            ds = counting(DynamicMixingSourceDataset, leg)(
                 speech_source_scp=scps["speech"],
                 noise_source_scp=scps["noise"],
                 rir_scp=scps["rir"],
@@ -235,10 +270,29 @@ def main():
                                   use_processes=False,
                                   collate=collate_device_render)
 
-        paths = {"presim": presim_loader, "host_dm": host_dm_loader,
-                 "device_dm": device_dm_loader}
+        def to_dev_batch(item, fused):
+            """item -> (step_fn, device_args).  Transfers dispatch async."""
+            if isinstance(item, dict):
+                if fused:
+                    arrays = tuple(jnp.asarray(item[k]) for k in TR.RENDER_KEYS)
+                    return get_fused_step(), arrays, item["lengths"]
+                target, noisy = render_on_device(item, highpass=True, mesh=None)
+                lens = jnp.asarray(np.asarray(item["lengths"], np.int32))
+                return step, (target, noisy, lens), item["lengths"]
+            clean, noisy_h, fs_, lens = item
+            return step, (jnp.asarray(clean[:, 0]), jnp.asarray(noisy_h[:, 0]),
+                          jnp.asarray(lens)), lens
 
-        for name, make_loader in paths.items():
+        # leg -> (loader factory, fused render?)
+        paths = {
+            "presim": (presim_loader, False),
+            "host_dm": (host_dm_loader, False),
+            "device_dm": (lambda: device_dm_loader("device_dm"), False),
+            "device_dm_fused": (lambda: device_dm_loader("device_dm_fused"),
+                                True),
+        }
+
+        for name, (make_loader, fused) in paths.items():
             # ---- supply only: drain the loader, no training ----
             n_samples, n_utt, t0 = 0, 0, None
             for item in make_loader():
@@ -253,7 +307,7 @@ def main():
             print(f"{name}: supply {supply_sps/1e6:.2f} M samples/s "
                   f"({n_utt} utts in {dt:.2f}s)")
 
-            # ---- end-to-end: loader -> (render) -> step ----
+            # ---- end-to-end BLOCKING: loader -> (render) -> step ----
             p, o = copy(params0), copy(opt0)
             t_wait = t_dev = 0.0
             done = 0
@@ -270,18 +324,8 @@ def main():
                     except StopIteration:
                         break
                     tw1 = time.perf_counter()
-                    if isinstance(item, dict):
-                        target, noisy = render_on_device(
-                            item, highpass=True, mesh=None)
-                        lens = jnp.asarray(np.asarray(item["lengths"],
-                                                      np.int32))
-                        dev_batch = (target, noisy, lens)
-                    else:
-                        clean, noisy, fs_, lens = item
-                        dev_batch = (jnp.asarray(clean[:, 0]),
-                                     jnp.asarray(noisy[:, 0]),
-                                     jnp.asarray(lens))
-                    p, o, _, m = step(p, o, None, key, *dev_batch)
+                    step_fn, dev_batch, lens = to_dev_batch(item, fused)
+                    p, o, _, m = step_fn(p, o, None, key, *dev_batch)
                     jax.block_until_ready(m["loss"])
                     td1 = time.perf_counter()
                     if not compiled:
@@ -307,6 +351,52 @@ def main():
                   f"({e2e_sps/1e6:.2f} M samples/s) — loader wait "
                   f"{1e3*t_wait/done:.0f} ms/step, device "
                   f"{1e3*t_dev/done:.0f} ms/step")
+
+            # ---- end-to-end PIPELINED: the production-trainer loop ----
+            # no per-step block; device run-ahead bounded at 4 dispatched
+            # steps (Config.runahead_sync_steps — the trainer's backpressure
+            # against the remote-worker crash, CLAUDE.md)
+            p, o = copy(params0), copy(opt0)
+            done = 0
+            e2e_samples = 0
+            t_pipe0 = None
+            last_m = None
+            while done < args.steps:
+                loader = make_loader()
+                it = iter(loader)
+                while done < args.steps:
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        break
+                    step_fn, dev_batch, lens = to_dev_batch(item, fused)
+                    p, o, _, last_m = step_fn(p, o, None, key, *dev_batch)
+                    if t_pipe0 is None:
+                        # first step compiled above; start the clock at the
+                        # first pipelined dispatch
+                        t_pipe0 = time.perf_counter()
+                    done += 1
+                    e2e_samples += int(np.sum(np.asarray(lens)))
+                    if done % 4 == 0:
+                        jax.block_until_ready(last_m["loss"])
+            jax.block_until_ready(last_m["loss"])
+            t_pipe = time.perf_counter() - t_pipe0
+            steps_s = done / t_pipe
+            results[name]["pipelined_steps_per_s"] = round(steps_s, 3)
+            results[name]["pipelined_samples_per_s"] = round(
+                e2e_samples / t_pipe)
+            results[name]["pipelined_ms_per_step"] = round(
+                1e3 * t_pipe / done, 1)
+            print(f"{name}: pipelined {steps_s:.2f} steps/s "
+                  f"({1e3 * t_pipe / done:.0f} ms/step)")
+
+        for leg, counts in recipe_counts.items():
+            if counts["items"]:
+                results.setdefault(leg, {})["recipes"] = {
+                    "items": counts["items"],
+                    "wind_frac": round(counts["wind"] / counts["items"], 4),
+                    "codec_frac": round(counts["codec"] / counts["items"], 4),
+                }
 
     Path(args.out).write_text(json.dumps(results, indent=1))
     print(json.dumps(results))
