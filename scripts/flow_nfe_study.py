@@ -44,7 +44,8 @@ def val_set():
         c = speechlike(rng, FS, SECONDS, 105 + 13 * i)
         snr = 2.0 + 2.0 * i  # 2..16 dB
         n = colored_noise(rng, c.size, 0.6)
-        noisys.append(mix_at_nominal_snr(c, n, snr))
+        c, ny = mix_at_nominal_snr(c, n, snr)
+        noisys.append(ny)
         cleans.append(c)
     return np.stack(cleans), np.stack(noisys).astype(np.float32)
 

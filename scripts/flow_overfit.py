@@ -6,7 +6,7 @@ scale; PARITY attributes that to the families' sample-efficiency gap at
 reduced geometry, but nothing separates "needs scale/data" from "subtle
 defect in the CFM target / sigma-schedule / EMA / sampler chain".  This
 script is the separating experiment: train flowse on a TINY fixed pool
-(default 6 utterances, one fs, honest v3 spec-SNR mixing) until it
+(default 6 utterances, one fs, v4 spec-SNR + 0.9-peak mixing) until it
 memorizes.  Conditional flow matching can always memorize a point mass —
 for a fixed (x0, y) pair the optimal vector field is the closed-form
 transport VF*(x,t,y) = (y - x0) + (sigma_max - sigma_min) (x - mean_t)/std_t,
@@ -55,7 +55,7 @@ FS = 16000
 def build_pool(root: Path, n: int, seconds: float):
     """n fixed (clean, noisy) pairs at decisive SNRs; train scp == val scp."""
     marker = root / ".pool_done"
-    stamp = f"overfit-v3:{n}:{seconds}"
+    stamp = f"overfit-v4:{n}:{seconds}"
     if marker.exists():
         if marker.read_text().strip() != stamp:
             raise SystemExit(f"stale pool in {root}; use a fresh --workdir")
@@ -70,7 +70,7 @@ def build_pool(root: Path, n: int, seconds: float):
         clean = speechlike(rng, FS, seconds, 98 + 13 * (i % 9))
         snr_db = 4.0 + i  # 4..(4+n-1) dB: decisively degraded inputs
         noise = colored_noise(rng, clean.size, 0.55 + 0.05 * (i % 5))
-        noisy = mix_at_nominal_snr(clean, noise, snr_db)
+        clean, noisy = mix_at_nominal_snr(clean, noise, snr_db)
         cp, npth = d / f"{uid}_c.wav", d / f"{uid}_n.wav"
         audio_io.write(str(cp), clean, FS)
         audio_io.write(str(npth), noisy.astype(np.float32), FS)
@@ -136,6 +136,21 @@ def evaluate(workdir: Path, out_path: str, grid=(10, 4)):
 
     kind, ema_params, cfg, _ = load_model_for_inference(ckpt)
     assert kind == "flowse", kind
+
+    # ORACLE ceiling: a perfectly-trained CFM sampler's endpoint is exactly
+    # x0 + sigma_min*z in the compressed-spec domain ((x-mean)/std is
+    # conserved along the optimal flow; the final Euler step integrates the
+    # linear sigma(t) exactly).  This row is what "memorized" can at best
+    # look like — scale-dependent, since the hiss is fixed while the
+    # compressed signal scales with input peak (round-5 finding).
+    from urgent2026_challenge_track1_tpu.dsp import stft as dsp
+    from urgent2026_challenge_track1_tpu.models.odes import complex_normal_like
+
+    x0 = dsp.stft_encode(jnp.asarray(clean), FS, cfg.stft_cfg)
+    z = complex_normal_like(jax.random.PRNGKey(0), x0)
+    oracle = np.asarray(dsp.stft_decode(
+        x0 + cfg.sigma_min * z, FS, cfg.stft_cfg, length=clean.shape[-1]))
+    score(f"oracle-x0+sigma_min*z({cfg.sigma_min})", clean, oracle, rows)
     payload, _ = load_orbax_payload(ckpt)
     variants = [("ema", ema_params)]
     if "params" in payload:
@@ -154,9 +169,12 @@ def evaluate(workdir: Path, out_path: str, grid=(10, 4)):
         "rows": rows,
     }
     noisy_snr = rows[0]["si_snr"]
-    best = max((r for r in rows[1:]), key=lambda r: r["si_snr"])
+    oracle_snr = next(r["si_snr"] for r in rows if r["which"].startswith("oracle"))
+    best = max((r for r in rows[1:] if not r["which"].startswith("oracle")),
+               key=lambda r: r["si_snr"])
     result["verdict"] = {
         "beats_noisy_si_snr_db": round(best["si_snr"] - noisy_snr, 3),
+        "gap_to_oracle_db": round(oracle_snr - best["si_snr"], 3),
         "best_row": best["which"],
         "memorized": bool(best["si_snr"] > noisy_snr + 3.0),
     }

@@ -52,7 +52,7 @@ def build_pools(work: Path):
     marker = work / ".pool_done"
     # v2: spec-SNR mixing (v1 landed ~11 dB milder than nominal)
     if marker.exists():
-        if marker.read_text().strip() != "v2":
+        if marker.read_text().strip() != "v4":
             raise SystemExit(
                 f"workdir {work} holds a stale pool (old mixing) — "
                 "use a fresh --workdir")
@@ -74,7 +74,7 @@ def build_pools(work: Path):
                 snr_db = float(rng.uniform(2.0, 14.0))
                 noise = colored_noise(rng, clean.size,
                                       0.5 + 0.3 * rng.random())
-                noisy = mix_at_nominal_snr(clean, noise, snr_db)
+                clean, noisy = mix_at_nominal_snr(clean, noise, snr_db)
                 cp, np_ = d / f"{uid}_c.wav", d / f"{uid}_n.wav"
                 audio_io.write(str(cp), clean, fs)
                 audio_io.write(str(np_), noisy, fs)
@@ -104,7 +104,7 @@ def build_pools(work: Path):
     with open(work / "test" / "text", "w") as f:
         for row in meta_rows:
             print(row["id"], "synthetic formant speech", file=f)
-    marker.write_text("v2")
+    marker.write_text("v4")
 
 
 def run_cli(cmd, **kw):

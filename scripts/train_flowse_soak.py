@@ -45,7 +45,7 @@ def build_pool(root: Path, n_train=160, n_val=6):
     marker = root / ".pool_done"
     # v3: spec-SNR mixing (v2 pools landed ~11 dB milder than nominal)
     if marker.exists():
-        if marker.read_text().strip() != "v3":
+        if marker.read_text().strip() != "v4":
             raise SystemExit(
                 f"workdir {root} holds a stale pool (old generator or old "
                 "mixing) — use a fresh --workdir")
@@ -61,7 +61,7 @@ def build_pool(root: Path, n_train=160, n_val=6):
             clean = speechlike(rng, FS, SECONDS, 95 + 11 * (i % 22))
             snr_db = rng.uniform(2.0, 15.0)
             noise = colored_noise(rng, clean.size, 0.5 + 0.3 * rng.random())
-            noisy = mix_at_nominal_snr(clean, noise, snr_db)
+            clean, noisy = mix_at_nominal_snr(clean, noise, snr_db)
             cp, np_ = d / f"{uid}_c.wav", d / f"{uid}_n.wav"
             audio_io.write(str(cp), clean, FS)
             audio_io.write(str(np_), noisy.astype(np.float32), FS)
@@ -71,7 +71,7 @@ def build_pool(root: Path, n_train=160, n_val=6):
             print(uid, clean.size, file=scps["speech_length.scp"])
         for f in scps.values():
             f.close()
-    marker.write_text("v3")
+    marker.write_text("v4")
 
 
 def main():

@@ -60,24 +60,43 @@ def colored_noise(rng, n, pole):
 
 
 def mix_at_nominal_snr(clean, noise, snr_db):
-    """Host-spec SNR mixing: powers over non-silent regions on BOTH sides
-    (simulation/dsp.py mix_noise, mirroring the reference's mix).  The v2
-    pools scaled max-normalized noise by the active-speech STD instead,
-    which landed ~11 dB milder than the nominal label (noisy ESTOI ~0.94 —
-    no metric dynamic range).  v3 pools mix so nominal == effective."""
+    """Host-spec SNR mixing + reference joint peak normalization.  Returns
+    the (clean, noisy) PAIR, both scaled by the same factor.
+
+    Mixing: powers over non-silent regions on BOTH sides (simulation/dsp.py
+    mix_noise, mirroring the reference's mix).  The v2 pools scaled
+    max-normalized noise by the active-speech STD instead, which landed
+    ~11 dB milder than the nominal label; v3 mixed so nominal == effective.
+
+    Normalization (v4): the reference renderer jointly scales every pair so
+    max(|noisy|, |clean|, |noise|) peaks at 0.9
+    (simulate_data_from_param.py:575-589) — its whole training/eval universe
+    is 0.9-peak.  The v3 pools skipped this (clean peaked at the ~0.3
+    synthesizer scale), which silently crippled the GENERATIVE leg: the CFM
+    sampler's quality ceiling is x0 + sigma_min*z in the compressed-spec
+    domain, whose hiss is fixed while the signal scales with input peak —
+    ~4.6 dB SI-SNR oracle floor at 0.3 peak vs ~12.5 dB at 0.9 peak
+    (round-5 falsifier, flow_overfit_r5.json).  SNR itself is
+    scale-invariant, so v3 conclusions about nominal-vs-effective SNR stand."""
     from urgent2026_challenge_track1_tpu.simulation.dsp import mix_noise
 
-    noisy, _ = mix_noise(clean[None, :].astype(np.float64),
-                         noise[None, :].astype(np.float64), float(snr_db))
-    return noisy[0].astype(np.float32)
+    noisy, noise_scaled = mix_noise(clean[None, :].astype(np.float64),
+                                    noise[None, :].astype(np.float64),
+                                    float(snr_db))
+    noisy = noisy[0]
+    scale = 0.9 / max(np.abs(noisy).max(), np.abs(clean).max(),
+                      np.abs(noise_scaled).max(), 1e-6)
+    return ((clean * scale).astype(np.float32),
+            (noisy * scale).astype(np.float32))
 
 
 def build_pool(root: Path, rates=SAMPLE_RATES):
     """Pre-simulated paired pools across the requested sampling rates."""
     done_marker = root / ".pool_done"
-    # v3: spec-SNR mixing (mix_at_nominal_snr); v2 was the formant
-    # synthesizer with ~11 dB-milder-than-nominal mixing — stale pools refused
-    stamp = "v3:" + ",".join(str(r) for r in rates)
+    # v4: joint 0.9 peak normalization (see mix_at_nominal_snr); v3 was
+    # spec-SNR mixing without it; v2 mixed ~11 dB milder than nominal.
+    # Stale pools are refused.
+    stamp = "v4:" + ",".join(str(r) for r in rates)
     if done_marker.exists():
         have = done_marker.read_text().strip()
         if have != stamp:
@@ -97,7 +116,7 @@ def build_pool(root: Path, rates=SAMPLE_RATES):
                 clean = speechlike(rng, fs, SECONDS, 100 + 9 * (i % 25))
                 snr_db = rng.uniform(0.0, 15.0)
                 noise = colored_noise(rng, clean.size, 0.5 + 0.3 * rng.random())
-                noisy = mix_at_nominal_snr(clean, noise, snr_db)
+                clean, noisy = mix_at_nominal_snr(clean, noise, snr_db)
                 cp, np_ = d / f"{uid}_c.wav", d / f"{uid}_n.wav"
                 audio_io.write(str(cp), clean, fs)
                 audio_io.write(str(np_), noisy.astype(np.float32), fs)
