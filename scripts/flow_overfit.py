@@ -116,7 +116,7 @@ def score(tag, clean, est, rows):
     return row
 
 
-def evaluate(workdir: Path, out_path: str, grid=(10, 4)):
+def evaluate(workdir: Path, out_path: str, grid=(10, 4), scale_norm=True):
     import jax
     import jax.numpy as jnp
 
@@ -158,7 +158,8 @@ def evaluate(workdir: Path, out_path: str, grid=(10, 4)):
     for name, params in variants:
         for N in grid:
             fn = jax.jit(lambda p, k, x, N=N: FM.flowse_enhance(
-                p, cfg, k, x, FS, N=N, solver="euler", lengths=lengths))
+                p, cfg, k, x, FS, N=N, solver="euler", lengths=lengths,
+                scale_norm=scale_norm))
             est = np.asarray(fn(params, jax.random.PRNGKey(0), jnp.asarray(noisy)))
             score(f"{name}-euler-N{N}", clean, est, rows)
 
@@ -196,6 +197,11 @@ def main():
     ap.add_argument("--restart-seconds", type=int, default=1500)
     ap.add_argument("--out", type=str, default="flow_overfit_r5.json")
     ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--no-scale-norm", action="store_true",
+                    help="evaluate with flowse_enhance(scale_norm=False) — "
+                         "for checkpoints trained on pre-v4 (non-0.9-peak) "
+                         "pools, whose training distribution the default "
+                         "input normalization would mismatch")
     args = ap.parse_args()
 
     work = Path(args.workdir)
@@ -205,7 +211,7 @@ def main():
             import jax
 
             jax.config.update("jax_platforms", "cpu")
-        evaluate(work, args.out)
+        evaluate(work, args.out, scale_norm=not args.no_scale_norm)
         return
     build_pool(work, args.n, args.seconds)
 
@@ -264,7 +270,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    evaluate(work, args.out)
+    evaluate(work, args.out, scale_norm=not args.no_scale_norm)
 
 
 if __name__ == "__main__":
