@@ -120,6 +120,13 @@ def evaluate(workdir: Path, out_path: str, grid=(10, 4), scale_norm=True):
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeat evals skip the tunnel compile
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from urgent2026_challenge_track1_tpu.models import bsrnn_flowse as FM
     from urgent2026_challenge_track1_tpu.utils.checkpoint import (
         load_model_for_inference,

@@ -50,7 +50,7 @@ def build_pools(work: Path):
     from urgent2026_challenge_track1_tpu.utils.speech_synth import synth_speech
 
     marker = work / ".pool_done"
-    # v2: spec-SNR mixing (v1 landed ~11 dB milder than nominal)
+    # v4: joint 0.9-peak + spec-SNR mixing (v2 lacked peak norm; v1 mixed ~11 dB milder)
     if marker.exists():
         if marker.read_text().strip() != "v4":
             raise SystemExit(
