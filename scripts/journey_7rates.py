@@ -173,7 +173,7 @@ def main():
     ap.add_argument("--hidden", type=int, default=48)
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--device", type=str, default="cpu")
-    ap.add_argument("--out", type=str, default="journey7_r4.json")
+    ap.add_argument("--out", type=str, default="journey7_r5.json")
     ap.add_argument("--report-only", action="store_true",
                     help="score existing outputs; skip train/infer/eval")
     args = ap.parse_args()

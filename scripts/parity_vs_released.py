@@ -150,6 +150,9 @@ def enhance_fixtures(kind, params, model_cfg, stft_cfg, nfe=15):
             out = FM.flowse_enhance(
                 params, model_cfg, jax.random.PRNGKey(0), jnp.asarray(wav), fs,
                 N=nfe,
+                # strict reference semantics for waveform parity: the torch
+                # enhance path applies no input scale normalization
+                scale_norm=False,
             )
         outs[str(fs)] = np.asarray(out[0])
     return outs

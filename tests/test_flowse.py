@@ -107,3 +107,26 @@ def test_ouve_sde_properties():
     mean = np.asarray(sde.mean(x0, t, y))
     assert abs(mean[0, 0, 0] - 1.0) < 1e-6  # mean starts at x0
     assert abs(mean[2, 0, 0]) < abs(mean[1, 0, 0])  # decays towards y
+
+
+def test_flowse_enhance_scale_norm_semantics(tiny):
+    """scale_norm (round-5): (a) exact scale-EQUIVARIANCE — enhance(c*x) ==
+    c*enhance(x) for any c, because the sampler always sees the 0.9-peak
+    normalized input with the same key; (b) at an exactly-0.9-peak input it
+    matches scale_norm=False (the reference operating point is a no-op)."""
+    cfg, params = tiny
+    fs = 16000
+    key = jax.random.PRNGKey(3)
+    x = 0.2 * np.sin(2 * np.pi * 440 * np.arange(4000) / fs).astype(np.float32)
+    x[100] = 0.3  # make the peak unambiguous
+    xb = jnp.asarray(x[None, :])
+
+    y1 = np.asarray(FM.flowse_enhance(params, cfg, key, xb, fs, N=2))
+    y3 = np.asarray(FM.flowse_enhance(params, cfg, key, 3.0 * xb, fs, N=2))
+    np.testing.assert_allclose(3.0 * y1, y3, rtol=1e-3, atol=5e-4)
+
+    x09 = xb * (0.9 / 0.3)
+    y_on = np.asarray(FM.flowse_enhance(params, cfg, key, x09, fs, N=2))
+    y_off = np.asarray(
+        FM.flowse_enhance(params, cfg, key, x09, fs, N=2, scale_norm=False))
+    np.testing.assert_allclose(y_on, y_off, rtol=1e-3, atol=5e-4)
