@@ -38,7 +38,12 @@ sys.path.insert(0, str(REPO / "scripts"))
 RATES = (8000, 16000, 22050, 24000, 32000, 44100, 48000)
 SECONDS = 2
 N_TRAIN_PER_FS = 10
-N_VAL_PER_FS = 1
+# The val loader keeps reference parity (drop_last=True, dataset.py:515),
+# so each (fs, length) group needs >= batch_size (2) utterances or the
+# whole group is dropped and validation runs empty (val_loss=inf -> null
+# in metrics.jsonl, as in the r4 journey).  Final scores are unaffected
+# (inference uses checkpoints_last), but live per-rate val curves need 2+.
+N_VAL_PER_FS = 2
 N_TEST_PER_FS = 2
 
 
