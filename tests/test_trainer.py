@@ -225,6 +225,55 @@ def test_plateau_resume_uses_latest_checkpoint(tmp_path):
     assert ref.latest_step() == 10
 
 
+def test_checkpoint_metric_val_sisnr_keys_on_max(tmp_path):
+    """checkpoint_metric="val_sisnr" must retain the HIGHEST-SI-SNR step even
+    when val_loss prefers an earlier one (the round-5 reference-geometry CFM
+    soak: val_loss bottomed at ~6k steps while the sampler's val SI-SNR kept
+    improving through 25k — val_loss mis-selects for flowse)."""
+    import jax.numpy as jnp
+
+    from urgent2026_challenge_track1_tpu.train.trainer import (
+        CheckpointIO,
+        TrainState,
+    )
+
+    def st(step):
+        return TrainState(
+            params={"w": jnp.full((3,), float(step))},
+            opt_state={"m": jnp.zeros((3,))},
+            ema_params=None,
+            step=step,
+            epoch=0,
+            batch_in_epoch=step,
+        )
+
+    ck = CheckpointIO(str(tmp_path / "ck"), save_top_k=1, save_last=False,
+                      metric="val_sisnr")
+    assert ck.mode == "max"
+    # the CFM-soak shape: loss bottoms early, sampler SI-SNR peaks late
+    history = ((10, {"val_loss": 0.5, "val_sisnr": 4.0}),
+               (20, {"val_loss": 0.8, "val_sisnr": 7.2}),
+               (30, {"val_loss": 0.9, "val_sisnr": 6.9}))
+    for step, vm in history:
+        ck.save(step, st(step), vm, {})
+    assert list(ck.manager.all_steps()) == [20]
+    # meta keeps its legacy shape (val_loss float) for existing loaders
+    _, meta = ck.restore(20, st(0))
+    assert meta["val_loss"] == pytest.approx(0.8)
+
+    # a val pass that never produced the metric ranks worst, never best
+    ck.save(40, st(40), {"val_loss": 0.1}, {})
+    assert list(ck.manager.all_steps()) == [20]
+
+    # default metric stays exact reference behavior (min val_loss), and the
+    # legacy float signature still works
+    ref = CheckpointIO(str(tmp_path / "ref"), save_top_k=1, save_last=False)
+    assert ref.mode == "min"
+    for step, vl in ((10, 0.5), (20, 0.3)):
+        ref.save(step, st(step), vl, {})
+    assert list(ref.manager.all_steps()) == [20]
+
+
 def test_nan_step_is_a_true_skip():
     """A NaN batch must not move params OR the optimizer state (the
     reference's Lightning guard skips optimizer.step() entirely; zeroed

@@ -37,6 +37,11 @@ class Config:
         self.train_name = "baseline"
         self.val_check_interval = 50000
         self.save_top_k = 3
+        self.checkpoint_metric = "val_loss"  # top-k key; reference keys on
+        #                               val_loss (train_se.py:19-32), but for
+        #                               flowse "val_sisnr" tracks sampler
+        #                               quality where the CFM loss mis-selects
+        #                               (see CheckpointIO docstring)
         self.save_last = True         # keep a "latest" ckpt for resume; the
         #                               reference's save_last=False livelocks
         #                               restart-bounded runs on a val plateau

@@ -358,19 +358,29 @@ class CheckpointIO:
     CLAUDE.md) would livelock resuming the same old best step forever.  Resume
     picks the highest step across both trees.  Set ``save_last=False`` for
     strict reference behavior.
+
+    ``metric`` selects the top-k key (default ``val_loss`` = reference
+    behavior).  For flowse the CFM objective is a poor selector of sampler
+    quality — in the round-5 reference-geometry soak val_loss bottomed at
+    step ~6k while the N=10 sampler's val SI-SNR kept improving through
+    25k — so ``metric="val_sisnr"`` (mode auto-flips to max) keys retention
+    on the quantity users actually care about.
     """
 
     def __init__(self, directory: str, save_top_k: int = 3,
-                 save_last: bool = True):
+                 save_last: bool = True, metric: str = "val_loss",
+                 mode: Optional[str] = None):
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
         self.directory = os.path.abspath(directory)
+        self.metric = metric
+        self.mode = mode or ("max" if "sisnr" in metric else "min")
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=save_top_k,
-            best_fn=lambda m: m["val_loss"],
-            best_mode="min",
+            best_fn=lambda m: m[self.metric],
+            best_mode=self.mode,
             create=True,
         )
         self.manager = ocp.CheckpointManager(self.directory, options=options)
@@ -398,11 +408,20 @@ class CheckpointIO:
             ),
         )
 
-    def save(self, step: int, state: TrainState, val_loss: float, config_dict: dict):
+    def save(self, step: int, state: TrainState, val_loss, config_dict: dict):
+        """``val_loss``: the val_loss float (legacy), or the full val-metrics
+        dict — required when ``metric != "val_loss"`` so best_fn can see it.
+        A missing metric value ranks as worst-possible, never as best."""
+        vm = dict(val_loss) if isinstance(val_loss, dict) else \
+            {"val_loss": float(val_loss)}
+        worst = float("inf") if self.mode == "min" else float("-inf")
+        metrics = {"val_loss": float(vm.get("val_loss", worst))}
+        metrics[self.metric] = float(vm.get(self.metric, worst))
+        val_loss = metrics["val_loss"]  # meta JSON keeps its legacy shape
         self.manager.save(
             step,
             args=self._composite_save(state, val_loss, config_dict),
-            metrics={"val_loss": float(val_loss)},
+            metrics=metrics,
         )
         self.manager.wait_until_finished()
         if self.last_manager is not None:
@@ -559,6 +578,7 @@ class Trainer:
         self.ckpt = CheckpointIO(
             os.path.join(self.exp_dir, "checkpoints"), cfg.save_top_k,
             save_last=getattr(cfg, "save_last", True),
+            metric=getattr(cfg, "checkpoint_metric", "val_loss"),
         )
         self._train_steps = {}
         self._val_steps = {}
@@ -740,7 +760,7 @@ class Trainer:
                 if state.step % cfg.val_check_interval == 0:
                     vm = self.validate(state)
                     self.logger.log(state.step, vm)
-                    self.ckpt.save(state.step, state, vm["val_loss"], cfg.to_dict())
+                    self.ckpt.save(state.step, state, vm, cfg.to_dict())
             state.epoch = epoch + 1
             state.batch_in_epoch = 0
         if profiling:
