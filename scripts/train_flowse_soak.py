@@ -125,6 +125,10 @@ def main():
         compute_dtype="bfloat16",
         log_every_steps=10,
         save_top_k=args.save_top_k,
+        # CFM val_loss mis-selects sampler quality (refgeom soak: loss
+        # bottomed ~6k steps, sampler SI-SNR still improving at 25k) — key
+        # top-k on the N=10 sampler's val SI-SNR instead
+        checkpoint_metric="val_sisnr",
         bsrnn_hidden=args.hidden,
         num_layer=args.layers,
     )
