@@ -11,8 +11,10 @@ Usage:
   python scripts/average_checkpoints.py --ckpt_dir exp/.../checkpoints \
       [--top_k 3 | --steps 12000 16000 20000] [--output .../checkpoints_avg]
 
-Selects the ``--top_k`` steps with the lowest stored val_loss (or the
-explicit ``--steps``), averages ``params`` (and ``ema`` when present)
+Selects the ``--top_k`` steps with the best stored ``--by`` metric —
+lowest val_loss by default, or e.g. highest val_sisnr for runs trained
+with ``checkpoint_metric: val_sisnr`` (or the explicit ``--steps``) —
+averages ``params`` (and ``ema`` when present)
 leaf-wise in float64, and writes a single-step orbax checkpoint that
 ``inference.py --ckpt_path <output>`` / ``serve.py`` load directly.
 The averaged checkpoint is inference-only: the optimizer state is
@@ -26,8 +28,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _rank_value(meta: dict, by: str):
+    """Stored metric value for ranking, or None if this step never saw it.
+
+    Checkpoints written with ``Config.checkpoint_metric`` carry a
+    ``meta["metrics"]`` dict; older checkpoints only have ``val_loss``.
+    """
+    v = meta.get("metrics", {}).get(by)
+    if v is None and by == "val_loss":
+        v = meta.get("val_loss")
+    return None if v is None else float(v)
+
+
 def average_checkpoints(ckpt_dir: str, output: str, top_k: int = 3,
-                        steps=None) -> dict:
+                        steps=None, by: str = "val_loss") -> dict:
     """Returns a summary dict (selected steps, val losses, output path)."""
     import jax
     import numpy as np
@@ -50,8 +64,14 @@ def average_checkpoints(ckpt_dir: str, output: str, top_k: int = 3,
         if missing:
             raise SystemExit(f"steps {missing} not in {all_steps}")
     else:
-        chosen = sorted(sorted(all_steps,
-                               key=lambda s: metas[s]["val_loss"])[:top_k])
+        ranked = [s for s in all_steps if _rank_value(metas[s], by) is not None]
+        if not ranked:
+            raise SystemExit(
+                f"no checkpoint under {ckpt_dir} stores metric {by!r}")
+        # losses rank ascending; SI-SNR-style metrics rank descending
+        reverse = "sisnr" in by
+        chosen = sorted(sorted(ranked, key=lambda s: _rank_value(metas[s], by),
+                               reverse=reverse)[:top_k])
 
     # stream one state at a time into float64 running sums (a flagship
     # state incl. optimizer moments is large; never hold k of them)
@@ -121,13 +141,17 @@ def main():
     ap.add_argument("--output", default=None,
                     help="output manager root (default <ckpt_dir>_avg)")
     ap.add_argument("--top_k", type=int, default=3,
-                    help="average the k lowest-val_loss steps")
+                    help="average the k best steps by --by")
+    ap.add_argument("--by", default="val_loss",
+                    help="ranking metric: val_loss (ascending) or a stored "
+                         "checkpoint_metric like val_sisnr (descending)")
     ap.add_argument("--steps", type=int, nargs="*", default=None,
                     help="explicit steps to average (overrides --top_k)")
     args = ap.parse_args()
 
     out = args.output or args.ckpt_dir.rstrip("/") + "_avg"
-    info = average_checkpoints(args.ckpt_dir, out, args.top_k, args.steps)
+    info = average_checkpoints(args.ckpt_dir, out, args.top_k, args.steps,
+                               by=args.by)
     print(f"averaged steps {info['steps']} "
           f"(val_loss {['%.4f' % v for v in info['val_losses']]}) "
           f"-> {info['output']}")

@@ -88,3 +88,37 @@ def test_missing_step_rejected(three_ckpts, tmp_path):
     with pytest.raises(SystemExit, match="not in"):
         average_checkpoints(str(tmp / "checkpoints"), str(tmp_path / "x"),
                             steps=[99])
+
+
+def test_rank_by_val_sisnr(tmp_path):
+    """--by val_sisnr must pick the HIGHEST-SI-SNR steps from metas written
+    by a checkpoint_metric run (and refuse when no step stores the metric)."""
+    from urgent2026_challenge_track1_tpu.config import Config
+    from urgent2026_challenge_track1_tpu.models import bsrnn as M
+    from urgent2026_challenge_track1_tpu.train.trainer import (
+        CheckpointIO,
+        TrainState,
+        build_model,
+        make_optimizer,
+    )
+
+    cfg = Config(model_configs={"num_channel": 8, "num_layer": 1})
+    bundle = build_model(cfg)
+    base = M.init_bsrnn(jax.random.PRNGKey(0), bundle.model_cfg)
+    opt = make_optimizer(cfg)
+    io = CheckpointIO(str(tmp_path / "ck"), save_top_k=3, save_last=False,
+                      metric="val_sisnr")
+    # val_loss prefers steps {1, 2}; val_sisnr prefers steps {2, 3}
+    history = [(1, {"val_loss": 0.4, "val_sisnr": 5.0}),
+               (2, {"val_loss": 0.5, "val_sisnr": 7.0}),
+               (3, {"val_loss": 0.9, "val_sisnr": 6.5})]
+    for step, vm in history:
+        state = TrainState(base, opt.init(base), None, step=step, epoch=0)
+        io.save(step, state, vm, cfg.to_dict())
+    info = average_checkpoints(str(tmp_path / "ck"), str(tmp_path / "avg"),
+                               top_k=2, by="val_sisnr")
+    assert info["steps"] == [2, 3]
+
+    with pytest.raises(SystemExit, match="stores metric"):
+        average_checkpoints(str(tmp_path / "ck"), str(tmp_path / "avg2"),
+                            top_k=2, by="val_pesq")

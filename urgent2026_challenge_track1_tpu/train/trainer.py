@@ -391,7 +391,8 @@ class CheckpointIO:
                 options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
             )
 
-    def _composite_save(self, state: TrainState, val_loss, config_dict):
+    def _composite_save(self, state: TrainState, val_loss, config_dict,
+                        metrics=None):
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
@@ -401,11 +402,14 @@ class CheckpointIO:
         }
         if state.ema_params is not None:
             payload["ema"] = state.ema_params
+        meta = {"val_loss": float(val_loss), "config": config_dict}
+        if metrics:
+            # additive: lets scripts/average_checkpoints.py rank by the
+            # configured metric; legacy readers only touch meta["val_loss"]
+            meta["metrics"] = {k: float(v) for k, v in metrics.items()}
         return self._ocp.args.Composite(
             state=self._ocp.args.StandardSave(payload),
-            meta=self._ocp.args.JsonSave(
-                {"val_loss": float(val_loss), "config": config_dict}
-            ),
+            meta=self._ocp.args.JsonSave(meta),
         )
 
     def save(self, step: int, state: TrainState, val_loss, config_dict: dict):
@@ -420,13 +424,14 @@ class CheckpointIO:
         val_loss = metrics["val_loss"]  # meta JSON keeps its legacy shape
         self.manager.save(
             step,
-            args=self._composite_save(state, val_loss, config_dict),
+            args=self._composite_save(state, val_loss, config_dict, metrics),
             metrics=metrics,
         )
         self.manager.wait_until_finished()
         if self.last_manager is not None:
             self.last_manager.save(
-                step, args=self._composite_save(state, val_loss, config_dict)
+                step,
+                args=self._composite_save(state, val_loss, config_dict, metrics),
             )
             self.last_manager.wait_until_finished()
 
