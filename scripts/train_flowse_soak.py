@@ -152,6 +152,15 @@ def main():
         )
         progressed = latest_step(exp_dir) > step
         stall = 0 if progressed else stall + 1
+        if stall >= 6:
+            # rc=124 with zero progress used to retry forever; if startup
+            # (restore + tunnel compile) eats six consecutive segments the
+            # tunnel is not coming back — stop with the report instead of
+            # spinning (observed isolated zero-progress segments in the
+            # round-5 refgeom soak, but never more than one in a row)
+            print(f"[flowse-soak] no progress in {stall} consecutive "
+                  "segments; giving up", flush=True)
+            break
         if r.returncode not in (0, 124):
             print(f"[flowse-soak] rc={r.returncode} (stall {stall}/4); retrying",
                   flush=True)
