@@ -274,6 +274,47 @@ def test_checkpoint_metric_val_sisnr_keys_on_max(tmp_path):
     assert list(ref.manager.all_steps()) == [20]
 
 
+def test_checkpoint_metric_switch_tolerates_legacy_checkpoints(tmp_path):
+    """Re-opening a top-k tree with a DIFFERENT checkpoint_metric must not
+    crash: orbax's preservation policy evaluates best_fn on every retained
+    checkpoint at the next save, and checkpoints saved before the switch
+    lack the new key (round-5 refgeom soak: KeyError 'val_sisnr' crash-loop
+    on every resume segment after flipping val_loss -> val_sisnr mid-run).
+    Legacy checkpoints rank as worst, never best."""
+    import jax.numpy as jnp
+
+    from urgent2026_challenge_track1_tpu.train.trainer import (
+        CheckpointIO,
+        TrainState,
+    )
+
+    def st(step):
+        return TrainState(
+            params={"w": jnp.full((3,), float(step))},
+            opt_state={"m": jnp.zeros((3,))},
+            ema_params=None,
+            step=step,
+            epoch=0,
+            batch_in_epoch=step,
+        )
+
+    # phase 1: default metric (val_loss) — metrics dicts have no val_sisnr
+    old = CheckpointIO(str(tmp_path / "ck"), save_top_k=3, save_last=False)
+    for step, vl in ((10, 0.5), (20, 0.4)):
+        old.save(step, st(step), vl, {})
+    del old
+
+    # phase 2: same tree re-opened keyed on val_sisnr; the next save used to
+    # raise KeyError inside orbax's should_preserve
+    new = CheckpointIO(str(tmp_path / "ck"), save_top_k=2, save_last=False,
+                       metric="val_sisnr")
+    new.save(30, st(30), {"val_loss": 0.9, "val_sisnr": 6.0}, {})
+    new.save(40, st(40), {"val_loss": 0.8, "val_sisnr": 5.0}, {})
+    # both metric-bearing steps survive; a legacy step is the one evicted
+    kept = set(new.manager.all_steps())
+    assert {30, 40} <= kept and len(kept & {10, 20}) <= 1
+
+
 def test_nan_step_is_a_true_skip():
     """A NaN batch must not move params OR the optimizer state (the
     reference's Lightning guard skips optimizer.step() entirely; zeroed

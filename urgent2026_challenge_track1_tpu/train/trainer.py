@@ -377,9 +377,16 @@ class CheckpointIO:
         self.metric = metric
         self.mode = mode or ("max" if "sisnr" in metric else "min")
         os.makedirs(self.directory, exist_ok=True)
+        # Checkpoints saved before a checkpoint_metric switch lack the new
+        # key in their metrics dict; orbax's preservation policy evaluates
+        # best_fn on EVERY retained checkpoint at the next save, so a plain
+        # m[self.metric] KeyError-crashes the first save after resume
+        # (observed: round-5 refgeom soak resuming a val_loss-keyed run with
+        # metric="val_sisnr").  Missing metric ranks as worst-possible.
+        _worst = float("inf") if self.mode == "min" else float("-inf")
         options = ocp.CheckpointManagerOptions(
             max_to_keep=save_top_k,
-            best_fn=lambda m: m[self.metric],
+            best_fn=lambda m: m.get(self.metric, _worst),
             best_mode=self.mode,
             create=True,
         )
